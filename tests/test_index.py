@@ -1,0 +1,107 @@
+"""Sharded exact top-k index tests vs numpy brute force (reference protocol:
+full cosine matrix + argsort, retrieval.ipynb cell 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh
+
+from patent_tpu.retrieval.index import EmbeddingIndex, sharded_topk_search, topk_search
+
+
+def brute_force_cosine(q, g, k):
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    gn = g / np.linalg.norm(g, axis=-1, keepdims=True)
+    sims = qn @ gn.T
+    idx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(sims, idx, axis=1), idx
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(7)
+    gallery = rng.standard_normal((1000, 64)).astype(np.float32)
+    queries = rng.standard_normal((17, 64)).astype(np.float32)
+    return queries, gallery
+
+
+def test_topk_small_gallery(data):
+    queries, gallery = data
+    vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gallery[:50]), k=10)
+    bv, bi = brute_force_cosine(queries, gallery[:50], 10)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+    np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+
+def test_topk_blockwise_matches_brute_force(data):
+    queries, gallery = data
+    # block_size smaller than gallery → exercises the scan merge path
+    vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
+                            k=10, block_size=128)
+    bv, bi = brute_force_cosine(queries, gallery, 10)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+    np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+
+def test_topk_k_larger_than_gallery(data):
+    queries, _ = data
+    gal = np.random.default_rng(0).standard_normal((6, 64)).astype(np.float32)
+    vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gal), k=10)
+    assert vals.shape == (17, 10)
+    assert np.all(np.asarray(vals[:, 6:]) == -np.inf)
+
+
+def test_poincare_topk(data):
+    rng = np.random.default_rng(3)
+    g = rng.standard_normal((300, 16)).astype(np.float32)
+    g = g / np.linalg.norm(g, axis=-1, keepdims=True) * rng.uniform(0.1, 0.8, (300, 1)).astype(np.float32)
+    q = g[:5] * 0.99  # queries near specific gallery points
+    vals, idx = topk_search(jnp.asarray(q), jnp.asarray(g), k=3,
+                            similarity="poincare", block_size=64)
+    # nearest neighbor of a slightly-scaled point is the point itself
+    np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(5))
+
+
+def test_sharded_matches_single_device(data, eight_devices):
+    queries, gallery = data
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    vals, idx = sharded_topk_search(mesh, jnp.asarray(queries), jnp.asarray(gallery),
+                                    k=10, block_size=64)
+    bv, bi = brute_force_cosine(queries, gallery, 10)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+    np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
+
+
+def test_sharded_uneven_gallery(eight_devices):
+    """Gallery size not divisible by shard count → padding masked correctly."""
+    rng = np.random.default_rng(11)
+    gallery = rng.standard_normal((1003, 32)).astype(np.float32)
+    queries = rng.standard_normal((5, 32)).astype(np.float32)
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    vals, idx = sharded_topk_search(mesh, jnp.asarray(queries), jnp.asarray(gallery), k=7)
+    bv, bi = brute_force_cosine(queries, gallery, 7)
+    np.testing.assert_array_equal(np.asarray(idx), bi)
+
+
+def test_embedding_index_roundtrip(tmp_path, data):
+    queries, gallery = data
+    names = [f"img_{i:04d}.png" for i in range(len(gallery))]
+    index = EmbeddingIndex(gallery, names)
+    res = index.search_names(queries[:2], k=5)
+    assert len(res) == 2 and len(res[0]) == 5
+    bv, bi = brute_force_cosine(queries[:2], gallery, 5)
+    assert [n for n, _ in res[0]] == [names[j] for j in bi[0]]
+    # persistence in the reference's .npy + .json layout
+    prefix = str(tmp_path / "emb")
+    index.save(prefix)
+    loaded = EmbeddingIndex.load(prefix)
+    assert loaded.names == names
+    res2 = loaded.search_names(queries[:2], k=5)
+    assert [n for n, _ in res2[0]] == [n for n, _ in res[0]]
+
+
+def test_index_name_mismatch_raises(data):
+    _, gallery = data
+    with pytest.raises(ValueError):
+        EmbeddingIndex(gallery, ["just_one.png"])
