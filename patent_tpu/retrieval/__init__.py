@@ -1,0 +1,3 @@
+"""Sharded exact retrieval index + evaluation engine."""
+
+from .index import EmbeddingIndex, sharded_topk_search, topk_search  # noqa: F401
