@@ -1,0 +1,154 @@
+"""Host-side image input pipeline: decode → resize → normalize → device batches.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + torchvision stack
+(retrieval.ipynb cell 2 ``ImageDataset``, src/models.py:77-95) with a
+thread-pooled decoder feeding fixed-shape NHWC numpy batches — the device
+side stays a single static-shape jit.  Semantics match the reference:
+
+* decode → float32 in [0, 1],
+* grayscale (1-channel) repeated to 3 channels, RGBA truncated to RGB
+  (models.py:84-89),
+* resize to 224×224 (torchvision ``Resize((224, 224))`` = bilinear,
+  antialias — PIL's BILINEAR matches closely),
+* CLIP normalization mean/std (retrieval.ipynb cell 2).
+
+Failed decodes are skipped with a warning, preserving the reference's
+failure policy (models.py:51-66 returns None → filtered in collate).
+
+A native C++ decode/resize path (``patent_tpu.input.native``) is used
+automatically when its extension is built; this module is the always-works
+fallback and the correctness oracle for it.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import logging
+import os
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+# CLIP preprocessing constants (retrieval.ipynb cell 2)
+CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+IMAGE_SIZE = 224
+
+VALID_EXTENSIONS = {".jpg", ".jpeg", ".png", ".JPG", ".JPEG", ".PNG"}
+
+
+def list_images(folder: str) -> list[str]:
+    """Recursively list image files, matching the reference's extension set
+    (retrieval.ipynb cell 3 ``valid_extensions`` + ``rglob``)."""
+    out = []
+    for root, _dirs, files in os.walk(folder):
+        for f in sorted(files):
+            if os.path.splitext(f)[1] in VALID_EXTENSIONS:
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def decode_image(path: str, image_size: int = IMAGE_SIZE) -> np.ndarray | None:
+    """Decode one image → [H, W, 3] float32, CLIP-normalized; None on failure."""
+    try:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB")  # handles gray + RGBA like models.py:84-89
+            im = im.resize((image_size, image_size), Image.BILINEAR)
+            arr = np.asarray(im, np.float32) / 255.0
+        return (arr - CLIP_MEAN) / CLIP_STD
+    except Exception as e:  # failed decode → skip (reference policy)
+        log.warning("failed to decode %s: %s", path, e)
+        return None
+
+
+def normalize_array(img: np.ndarray, image_size: int = IMAGE_SIZE) -> np.ndarray:
+    """Normalize an already-decoded [H, W, C] uint8/float array (no resize)."""
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[-1] == 1:
+        img = np.repeat(img, 3, axis=-1)
+    elif img.shape[-1] == 4:
+        img = img[:, :, :3]
+    return (img - CLIP_MEAN) / CLIP_STD
+
+
+class ImageBatcher:
+    """Threaded decode + fixed-shape batching with double-buffered prefetch.
+
+    Equivalent of the reference's DataLoader(num_workers=16, prefetch_factor=8)
+    (train.py:4292-4308) — but batches are NHWC numpy arrays ready for a
+    static-shape jitted encoder, and the last partial batch is zero-padded to
+    the full batch size with a validity count so device shapes never change.
+    """
+
+    def __init__(self, image_paths: Sequence[str], batch_size: int = 128,
+                 image_size: int = IMAGE_SIZE, num_workers: int = 8,
+                 prefetch: int = 4, drop_remainder: bool = False):
+        self.image_paths = list(image_paths)
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_remainder = drop_remainder
+
+    def __len__(self) -> int:
+        n = len(self.image_paths)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, list[str], int]]:
+        """Yields (batch [B, S, S, 3], valid paths, n_valid).
+
+        Per-image decode futures flow through a bounded window
+        (prefetch·batch_size) so decode overlaps with device compute; batches
+        are assembled on the consumer thread (no nested pool waits).
+        """
+        from collections import deque
+
+        paths = self.image_paths
+        n = len(paths)
+        if self.drop_remainder:
+            n = (n // self.batch_size) * self.batch_size
+        window = max(self.batch_size * self.prefetch, self.batch_size)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            futures: deque[tuple[cf.Future, str]] = deque()
+            submitted = 0
+
+            def top_up():
+                nonlocal submitted
+                while submitted < n and len(futures) < window:
+                    p = paths[submitted]
+                    futures.append(
+                        (pool.submit(decode_image, p, self.image_size), p))
+                    submitted += 1
+
+            top_up()
+            consumed = 0
+            while consumed < n:
+                take = min(self.batch_size, n - consumed)
+                batch = np.zeros(
+                    (self.batch_size, self.image_size, self.image_size, 3),
+                    np.float32)
+                names: list[str] = []
+                n_valid = 0
+                for _ in range(take):
+                    fut, p = futures.popleft()
+                    top_up()
+                    im = fut.result()
+                    if im is not None:
+                        batch[n_valid] = im
+                        names.append(p)
+                        n_valid += 1
+                consumed += take
+                yield batch, names, n_valid
+
+
+def shard_paths_per_host(paths: Sequence[str], host_id: int, num_hosts: int) -> list[str]:
+    """Deterministic per-host shard of the file list (multi-host input:
+    each host decodes its slice; device batches are formed per host)."""
+    return list(paths)[host_id::num_hosts]

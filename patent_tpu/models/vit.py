@@ -1,0 +1,261 @@
+"""CLIP-style ViT image/text encoders in Flax, TPU-first.
+
+Replaces the reference's dependency on ``transformers.CLIPModel`` (HF,
+PyTorch) for ``get_image_features`` / ``get_text_features``
+(retrieval.ipynb cell 2, graph gen cells 12-17, train.py:2459-2464) with a
+native Flax implementation designed for the MXU:
+
+* patch embedding as a strided conv (one big matmul after im2col — XLA maps
+  it straight onto the MXU),
+* pre-LN transformer blocks with fused QKV projection,
+* ``quick_gelu`` activation (CLIP's historical x·σ(1.702x)),
+* optional bf16 compute dtype with f32 params/layernorms,
+* optional ``jax.checkpoint`` rematerialization per block for memory-bound
+  fine-tuning at large batch.
+
+Weight import: ``load_hf_clip_params`` converts a HF ``CLIPModel`` torch
+state dict (from a local checkpoint dir — this environment has no network)
+into this module's parameter pytree, so reference-trained checkpoints can be
+evaluated for parity.
+
+Partial freezing (the reference unfreezes only the last 9 vision layers,
+retrieval.ipynb cell 20 / train.py:2459-2464) is expressed as an optax
+label pytree via ``finetune_param_labels``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+@dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_dim: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    mlp_dim: int = 3072
+    projection_dim: int = 512
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    vocab_size: int = 49408
+    context_length: int = 77
+    hidden_dim: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    projection_dim: int = 512
+
+
+# ViT-B/16 (openai/clip-vit-base-patch16) — the reference's backbone
+VIT_B16 = VisionConfig()
+TEXT_B = TextConfig()
+
+# tiny configs for tests
+VIT_TINY = VisionConfig(image_size=32, patch_size=8, hidden_dim=64,
+                        num_layers=2, num_heads=4, mlp_dim=128, projection_dim=32)
+TEXT_TINY = TextConfig(vocab_size=128, context_length=16, hidden_dim=64,
+                       num_layers=2, num_heads=4, mlp_dim=128, projection_dim=32)
+
+
+class Attention(nn.Module):
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        # fused QKV: one [d, 3d] matmul instead of three — better MXU tiling
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / np.sqrt(head_dim)
+        attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+        if mask is not None:
+            attn = attn + mask
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        out = out.reshape(*out.shape[:-2], d)
+        return nn.Dense(d, dtype=self.dtype, name="out")(out)
+
+
+class TransformerBlock(nn.Module):
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(h, mask)
+        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+        h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_out")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """CLIP vision tower → projected image features (get_image_features)."""
+
+    config: VisionConfig = VIT_B16
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, pixel_values: jax.Array) -> jax.Array:
+        """pixel_values: [B, H, W, 3] (NHWC, normalized) → [B, projection_dim]."""
+        cfg = self.config
+        x = pixel_values.astype(self.dtype)
+        x = nn.Conv(cfg.hidden_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+                    dtype=self.dtype, name="patch_embed")(x)
+        b = x.shape[0]
+        x = x.reshape(b, -1, cfg.hidden_dim)                      # [B, P, D]
+        cls = self.param("class_embedding", nn.initializers.normal(0.02),
+                         (cfg.hidden_dim,))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_dim)
+                                              ).astype(self.dtype), x], axis=1)
+        pos = self.param("position_embedding", nn.initializers.normal(0.01),
+                         (cfg.num_patches + 1, cfg.hidden_dim))
+        x = x + pos.astype(self.dtype)
+        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x)
+
+        block = TransformerBlock
+        if self.remat:
+            block = nn.remat(TransformerBlock)
+        for i in range(cfg.num_layers):
+            x = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
+                      name=f"block_{i}")(x)
+
+        x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
+        return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
+                        name="projection")(x)
+
+
+class TextTransformer(nn.Module):
+    """CLIP text tower → projected text features (get_text_features).
+
+    Used for CPC-definition / patent-title embeddings (graph gen cells 12-15).
+    """
+
+    config: TextConfig = TEXT_B
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jax.Array) -> jax.Array:
+        """input_ids: [B, L] int tokens (EOS = max id in row) → [B, proj]."""
+        cfg = self.config
+        tok = self.param("token_embedding", nn.initializers.normal(0.02),
+                         (cfg.vocab_size, cfg.hidden_dim))
+        pos = self.param("position_embedding", nn.initializers.normal(0.01),
+                         (cfg.context_length, cfg.hidden_dim))
+        l = input_ids.shape[1]
+        x = tok[input_ids].astype(self.dtype) + pos[:l].astype(self.dtype)
+        causal = jnp.triu(jnp.full((l, l), -1e9, jnp.float32), k=1)
+        for i in range(cfg.num_layers):
+            x = TransformerBlock(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
+                                 name=f"block_{i}")(x, causal)
+        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        # CLIP pools at the EOS position = argmax of token ids
+        eos = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eos]
+        return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
+                        name="projection")(pooled)
+
+
+# --------------------------------------------------------------------------
+# HF CLIP weight import (local checkpoints only — no network in this env)
+# --------------------------------------------------------------------------
+
+def load_hf_clip_params(checkpoint_dir: str,
+                        vision_config: VisionConfig = VIT_B16) -> dict:
+    """Convert a local HF ``CLIPModel`` checkpoint into VisionTransformer params.
+
+    Maps ``vision_model.*`` + ``visual_projection`` tensors; torch Linear
+    weights are [out, in] and get transposed to flax's [in, out]; the patch
+    conv [out, in, kh, kw] becomes [kh, kw, in, out].
+    """
+    import torch  # CPU-only, used purely as a checkpoint reader
+
+    from transformers import CLIPModel
+
+    model = CLIPModel.from_pretrained(checkpoint_dir)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+    def lin(prefix):
+        return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+    p: dict[str, Any] = {}
+    vm = "vision_model"
+    p["patch_embed"] = {"kernel": np.transpose(
+        sd[f"{vm}.embeddings.patch_embedding.weight"], (2, 3, 1, 0))}
+    p["class_embedding"] = sd[f"{vm}.embeddings.class_embedding"]
+    p["position_embedding"] = sd[f"{vm}.embeddings.position_embedding.weight"]
+    p["pre_ln"] = {"scale": sd[f"{vm}.pre_layrnorm.weight"],
+                   "bias": sd[f"{vm}.pre_layrnorm.bias"]}
+    for i in range(vision_config.num_layers):
+        enc = f"{vm}.encoder.layers.{i}"
+        q = lin(f"{enc}.self_attn.q_proj")
+        k = lin(f"{enc}.self_attn.k_proj")
+        v = lin(f"{enc}.self_attn.v_proj")
+        p[f"block_{i}"] = {
+            "ln1": {"scale": sd[f"{enc}.layer_norm1.weight"],
+                    "bias": sd[f"{enc}.layer_norm1.bias"]},
+            "ln2": {"scale": sd[f"{enc}.layer_norm2.weight"],
+                    "bias": sd[f"{enc}.layer_norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": np.concatenate(
+                            [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                        "bias": np.concatenate(
+                            [q["bias"], k["bias"], v["bias"]])},
+                "out": lin(f"{enc}.self_attn.out_proj"),
+            },
+            "mlp_in": lin(f"{enc}.mlp.fc1"),
+            "mlp_out": lin(f"{enc}.mlp.fc2"),
+        }
+    p["post_ln"] = {"scale": sd[f"{vm}.post_layernorm.weight"],
+                    "bias": sd[f"{vm}.post_layernorm.bias"]}
+    p["projection"] = {"kernel": sd["visual_projection.weight"].T}
+    return jax.tree.map(jnp.asarray, p)
+
+
+def finetune_param_labels(params: dict, num_trainable_blocks: int = 9,
+                          num_layers: int = 12) -> dict:
+    """optax.multi_transform labels: 'train' for the last N vision blocks +
+    post_ln + projection, 'frozen' otherwise (reference unfreezes the last 9
+    vision layers: retrieval.ipynb cell 20, train.py:2459-2464)."""
+    first_trainable = num_layers - num_trainable_blocks
+
+    def label(path, _leaf):
+        keystr = jax.tree_util.keystr(path)
+        for i in range(num_layers):
+            if f"block_{i}" in keystr.replace("'", ""):
+                return "train" if i >= first_trainable else "frozen"
+        if "post_ln" in keystr or "projection" in keystr:
+            return "train"
+        return "frozen"
+
+    return jax.tree_util.tree_map_with_path(label, params)

@@ -1,3 +1,4 @@
 """Sharded exact retrieval index + evaluation engine."""
 
 from .index import EmbeddingIndex, sharded_topk_search, topk_search  # noqa: F401
+from .engine import RetrievalEngine  # noqa: F401

@@ -1,0 +1,134 @@
+"""End-to-end retrieval engine: encode gallery → index → query → metrics.
+
+The TPU-native equivalent of ``ImageRetrieval`` + the batch evaluation script
+(notebooks/retrieval.ipynb cells 2-3): encode the gallery with a jitted
+(optionally pjit-data-parallel) encoder, persist embeddings in the
+reference's ``.npy`` + paths-JSON layout, answer queries with the sharded
+exact top-k index, and score with the exact reference metric battery.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..input.pipeline import ImageBatcher, list_images
+from ..metrics import RetrievalMetrics, evaluate_rankings
+from .index import EmbeddingIndex, Similarity
+
+
+class RetrievalEngine:
+    """Encode → index → retrieve → evaluate.
+
+    Args:
+        encode_fn: jitted [B, H, W, 3] → [B, D] feature fn (e.g. a bound
+            VisionTransformer apply, optionally pjit-sharded over a mesh).
+        batch_size / num_workers: input-pipeline knobs (reference uses
+            batch 128, workers 16 — retrieval.ipynb cell 2).
+    """
+
+    def __init__(self, encode_fn: Callable[[jax.Array], jax.Array],
+                 batch_size: int = 128, num_workers: int = 8,
+                 image_size: int = 224,
+                 similarity: Similarity = "cosine", c: float = 1.0,
+                 mesh=None):
+        self.encode_fn = encode_fn
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_workers = num_workers
+        self.similarity: Similarity = similarity
+        self.c = c
+        self.mesh = mesh
+        self.index: EmbeddingIndex | None = None
+
+    # ------------------------------------------------------------- encoding
+    def encode_paths(self, image_paths: Sequence[str]
+                     ) -> tuple[np.ndarray, list[str]]:
+        """Decode+encode images; returns (embeddings [N, D], kept paths)."""
+        batcher = ImageBatcher(image_paths, batch_size=self.batch_size,
+                               image_size=self.image_size,
+                               num_workers=self.num_workers)
+        embs, names = [], []
+        for batch, paths, n_valid in batcher:
+            if n_valid == 0:
+                continue
+            out = np.asarray(self.encode_fn(jnp.asarray(batch)))
+            embs.append(out[:n_valid])
+            names.extend(paths)
+        if not embs:
+            return np.zeros((0, 0), np.float32), []
+        return np.concatenate(embs, axis=0), names
+
+    def encode_dataset(self, gallery_folder_or_paths: str | Sequence[str],
+                       save_prefix: str | None = None) -> EmbeddingIndex:
+        """Encode the gallery and build the index (cell 2 ``encode_dataset``)."""
+        if isinstance(gallery_folder_or_paths, str):
+            paths = list_images(gallery_folder_or_paths)
+        else:
+            paths = list(gallery_folder_or_paths)
+        emb, names = self.encode_paths(paths)
+        self.index = EmbeddingIndex(emb, names, similarity=self.similarity,
+                                    c=self.c, mesh=self.mesh)
+        if save_prefix is not None:
+            os.makedirs(os.path.dirname(save_prefix) or ".", exist_ok=True)
+            self.index.save(save_prefix)
+        return self.index
+
+    def load_embeddings(self, prefix: str) -> EmbeddingIndex:
+        """Load a saved index (cell 2 ``load_embeddings``)."""
+        self.index = EmbeddingIndex.load(prefix, similarity=self.similarity,
+                                         c=self.c, mesh=self.mesh)
+        return self.index
+
+    # ------------------------------------------------------------ retrieval
+    def retrieve_similar_images(self, query_path: str, k: int = 20
+                                ) -> list[tuple[str, float]]:
+        """Single-query API matching cell 2 ``retrieve_similar_images``."""
+        if self.index is None:
+            raise ValueError("No database embeddings found. "
+                             "Please encode dataset first.")
+        emb, _names = self.encode_paths([query_path])
+        return self.index.search_names(emb, k=k)[0]
+
+    def rank_queries(self, query_folder_or_paths: str | Sequence[str],
+                     k: int | None = None) -> dict[str, list[str]]:
+        """Encode all queries and produce full (or top-k) gallery rankings
+        keyed by query basename, values gallery basenames best-first."""
+        if self.index is None:
+            raise ValueError("No database embeddings found.")
+        if isinstance(query_folder_or_paths, str):
+            qpaths = list_images(query_folder_or_paths)
+        else:
+            qpaths = list(query_folder_or_paths)
+        qemb, qnames = self.encode_paths(qpaths)
+        if len(qnames) == 0:
+            return {}
+        kk = k if k is not None else len(self.index)
+        _vals, idx = self.index.search(qemb, k=kk)
+        gallery_basenames = [os.path.basename(n) for n in self.index.names]
+        return {os.path.basename(q): [gallery_basenames[j] for j in row]
+                for q, row in zip(qnames, idx)}
+
+    # ----------------------------------------------------------- evaluation
+    def evaluate(self, query_folder_or_paths: str | Sequence[str],
+                 ground_truth: Mapping | str,
+                 positives_key: str = "patent_positives",
+                 results_path: str | None = None) -> RetrievalMetrics:
+        """Full evaluation matching retrieval.ipynb cell 3: full-gallery
+        rankings per query, reference metric battery, optional JSON dump in
+        the reference's ``detailed_results`` schema."""
+        if isinstance(ground_truth, str):
+            with open(ground_truth) as f:
+                ground_truth = json.load(f)
+        rankings = self.rank_queries(query_folder_or_paths, k=None)
+        metrics = evaluate_rankings(rankings, ground_truth,
+                                    positives_key=positives_key)
+        if results_path is not None:
+            os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
+            metrics.save(results_path)
+        return metrics

@@ -1,0 +1,169 @@
+"""CLIP fine-tuning with graph alignment — the L8 pipeline stage.
+
+TPU-native re-design of ``fine_tune_clip`` + ``MultiPositiveContrastiveLoss``
+v2 (reference notebooks/retrieval.ipynb cell 20, v1 in cell 16):
+
+* anchors ∥ positives in one [2B] image batch through the ViT (bf16, MXU),
+* NT-Xent with soft multi-positive targets and a learnable temperature
+  (``logit_scale``, exp-clamped at 100),
+* alignment head: learnable graph-node embedding table (init from the VGAE
+  matrix, PCA-whitened to ``graph_proj_dim``) + independent image/graph
+  projectors; loss term α·(1 − cos) with α warm-up over 5 epochs,
+* 4-group optimizer via ``optax.multi_transform`` (CLIP 2e-5, projectors
+  2e-4, embedding table 1e-4, logit_scale 5e-4 — cell 20's AdamW groups),
+  with the CLIP group restricted to the last N vision blocks
+  (``finetune_param_labels``).
+
+The whole train step is ONE jit; the reference runs separate host-side loss
+module + optimizer objects.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..losses import graph_alignment_cosine, multi_positive_nt_xent
+from ..models.vit import VisionConfig, VisionTransformer, finetune_param_labels
+from ..utils.config import ClipFinetuneConfig
+
+
+class AlignmentHead(nn.Module):
+    """Learnable graph-embedding table + the two projectors (cell 20)."""
+
+    num_nodes: int
+    graph_dim: int = 128          # PCA-whitened VGAE dim (cell 19)
+    proj_dim: int = 128
+    image_dim: int = 512
+    init_tau: float = 0.10
+
+    @nn.compact
+    def __call__(self, image_features: jax.Array, node_idx: jax.Array
+                 ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """→ (projected image feats [2B], projected graph feats [B], logit_scale)."""
+        table = self.param("graph_embedding", nn.initializers.normal(0.02),
+                           (self.num_nodes, self.graph_dim))
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _key, _shape: jnp.asarray(math.log(1.0 / self.init_tau)),
+            ())
+        img_proj = nn.Sequential([nn.Dense(self.proj_dim), nn.relu])
+        graph_proj = nn.Sequential([nn.Dense(self.proj_dim), nn.relu])
+        z = img_proj(image_features)
+        g = graph_proj(table[node_idx])
+        scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        return z, g, scale
+
+
+def pca_whiten(matrix: np.ndarray, dim: int = 128) -> np.ndarray:
+    """PCA-whiten the VGAE embedding matrix to ``dim`` (cell 19
+    ``torch.pca_lowrank`` + scaling)."""
+    x = matrix - matrix.mean(axis=0, keepdims=True)
+    u, s, _vt = np.linalg.svd(x, full_matrices=False)
+    k = min(dim, s.shape[0])
+    white = u[:, :k] * np.sqrt(x.shape[0] - 1)
+    if k < dim:
+        white = np.pad(white, ((0, 0), (0, dim - k)))
+    return white.astype(np.float32)
+
+
+def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
+                        vgae_matrix: np.ndarray,
+                        clip_params: Any | None = None,
+                        seed: int = 0):
+    """Build (models, params, optimizer, opt_state) for fine-tuning.
+
+    ``vgae_matrix``: [num_graph_nodes, D] graph embeddings (will be
+    PCA-whitened to cfg.graph_proj_dim and used as the table init).
+    """
+    vit = VisionTransformer(vision_config, dtype=jnp.bfloat16)
+    key = jax.random.key(seed)
+    dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
+    vit_params = clip_params if clip_params is not None else \
+        vit.init(key, dummy)["params"]
+
+    white = pca_whiten(vgae_matrix, cfg.graph_proj_dim)
+    head = AlignmentHead(num_nodes=white.shape[0],
+                         graph_dim=cfg.graph_proj_dim,
+                         proj_dim=cfg.graph_proj_dim,
+                         image_dim=vision_config.projection_dim,
+                         init_tau=cfg.init_tau)
+    head_params = head.init(key, jnp.zeros((2, vision_config.projection_dim)),
+                            jnp.zeros((1,), jnp.int32))["params"]
+    head_params = dict(head_params)
+    head_params["graph_embedding"] = jnp.asarray(white)
+
+    params = {"vit": vit_params, "head": head_params}
+
+    # 4-group optimizer (cell 20): clip / projectors / embedding / logit_scale
+    vit_labels = finetune_param_labels(vit_params, cfg.trainable_blocks,
+                                       vision_config.num_layers)
+    vit_labels = jax.tree.map(
+        lambda l: "clip" if l == "train" else "frozen", vit_labels)
+
+    def head_label(path, _leaf):
+        ks = jax.tree_util.keystr(path)
+        if "graph_embedding" in ks:
+            return "embed"
+        if "logit_scale" in ks:
+            return "logit"
+        return "proj"
+
+    labels = {"vit": vit_labels,
+              "head": jax.tree_util.tree_map_with_path(head_label, head_params)}
+    optimizer = optax.multi_transform(
+        {"clip": optax.adamw(cfg.lr_clip, weight_decay=cfg.weight_decay),
+         "proj": optax.adamw(cfg.lr_proj, weight_decay=cfg.weight_decay),
+         "embed": optax.adamw(cfg.lr_embed, weight_decay=cfg.weight_decay),
+         "logit": optax.adamw(cfg.lr_logit_scale, weight_decay=cfg.weight_decay),
+         "frozen": optax.set_to_zero()},
+        labels)
+    opt_state = optimizer.init(params)
+    return (vit, head), params, optimizer, opt_state
+
+
+def make_finetune_step(vit: VisionTransformer, head: AlignmentHead,
+                       optimizer, cfg: ClipFinetuneConfig):
+    """(params, opt_state, images[2B], node_idx[B], alpha) → updated state.
+
+    ``images`` = anchors ∥ positives; ``node_idx`` = graph node per anchor;
+    ``alpha`` is the warm-up-scheduled alignment weight (host scalar → device
+    arg so the step never recompiles across epochs).
+    """
+
+    def loss_fn(params, images, node_idx, alpha):
+        feats = vit.apply({"params": params["vit"]}, images)           # [2B, D]
+        z, g, scale = head.apply({"params": params["head"]}, feats, node_idx)
+        ce = multi_positive_nt_xent(z, scale)
+        b = node_idx.shape[0]
+        align = graph_alignment_cosine(z[:b], g)
+        loss = (1.0 - alpha) * ce + alpha * align
+        return loss, {"loss": loss, "cross_loss": ce, "align_loss": align,
+                      "tau": 1.0 / scale}
+
+    @jax.jit
+    def step(params, opt_state, images, node_idx, alpha):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, images, node_idx, alpha)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    @jax.jit
+    def eval_step(params, images, node_idx, alpha):
+        _, metrics = loss_fn(params, images, node_idx, alpha)
+        return metrics
+
+    return step, eval_step
+
+
+def alpha_schedule(epoch: int, cfg: ClipFinetuneConfig) -> float:
+    """α warm-up over the first ``warmup_epochs`` epochs (cell 20)."""
+    if epoch < cfg.warmup_epochs:
+        return cfg.alpha_max * (epoch + 1) / cfg.warmup_epochs
+    return cfg.alpha_max

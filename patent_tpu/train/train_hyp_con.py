@@ -1,0 +1,116 @@
+"""train_hyp_con — hyperbolic contrastive (InfoNCE) training engine.
+
+Re-design of ``train_hyperbolic_contrastive`` (reference src/train.py:
+1792-1910): anchors and their sampled positive partners are encoded in one
+forward and scored with the fully-vectorized hyperbolic InfoNCE
+(losses.hyperbolic_info_nce) — the reference builds the n×n distance matrix
+with a double Python loop of single-pair pmath.dist calls (train.py:1832-1840,
+the hottest least-vectorized loop in the repo).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.prep import TrainingData, figure_pair_maps
+from ..losses import hyperbolic_info_nce
+from ..models.hyperbolic import FigureOnlyHyperbolicModel
+from ..utils.config import HypConTrainConfig
+from ..utils.logging import MetricsLogger
+
+
+def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
+                                 logger: MetricsLogger | None = None
+                                 ) -> tuple[dict, dict]:
+    """Returns (best_params, history)."""
+    logger = logger or MetricsLogger(print_every=20)
+    rng = np.random.default_rng(cfg.seed)
+    model = FigureOnlyHyperbolicModel(
+        feature_dim=td.x_figures.shape[1], embed_dim=cfg.embed_dim,
+        hidden_dims=tuple(cfg.hidden_dims), c=cfg.curvature)
+    x0 = jnp.zeros((1, td.x_figures.shape[1]), jnp.float32)
+    params = model.init(jax.random.key(cfg.seed), x0)["params"]
+    optimizer = optax.adam(cfg.learning_rate)   # reference uses plain Adam here
+    opt_state = optimizer.init(params)
+    x_figures = jax.device_put(jnp.asarray(td.x_figures))
+
+    @jax.jit
+    def train_step(params, opt_state, anchor_idx, pos_idx, key, x_figures):
+        def loss_fn(p):
+            both = jnp.concatenate([x_figures[anchor_idx],
+                                    x_figures[pos_idx]], axis=0)
+            enc = model.apply({"params": p}, both, deterministic=False,
+                              rngs={"dropout": key})
+            n = anchor_idx.shape[0]
+            return hyperbolic_info_nce(enc[:n], enc[n:], cfg.curvature,
+                                       cfg.temperature)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # anchor → positive-figure pairs from the prepared data
+    _pp, _np_, fig_to_pos_figures, _nf = figure_pair_maps(td)
+    anchors = np.asarray(sorted(fig_to_pos_figures), np.int64)
+    if len(anchors) < 2:
+        raise ValueError("need at least 2 figures with positive partners")
+    n_val = max(1, int(0.1 * len(anchors)))
+    val_anchors = anchors[:n_val]
+    train_anchors = anchors[n_val:]
+
+    key = jax.random.key(cfg.seed)
+    best_val = float("inf")
+    best_params = params
+    patience_left = cfg.patience
+    history: dict[str, list] = {"train_loss": [], "val_loss": []}
+    step = 0
+
+    def epoch_batches(pool: np.ndarray):
+        perm = rng.permutation(len(pool))
+        for s in range(0, len(pool) - cfg.batch_size + 1, cfg.batch_size):
+            a = pool[perm[s:s + cfg.batch_size]]
+            p = np.asarray([fig_to_pos_figures[int(f)][
+                int(rng.integers(len(fig_to_pos_figures[int(f)])))]
+                for f in a], np.int64)
+            yield jnp.asarray(a), jnp.asarray(p)
+
+    for epoch in range(1, cfg.epochs + 1):
+        tot, nb = 0.0, 0
+        for a, p in epoch_batches(train_anchors):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, a, p, sub,
+                                                 x_figures)
+            tot += float(loss)
+            nb += 1
+            step += 1
+        if nb == 0:
+            # small corpora: train on everything in one batch-sized chunk
+            a = jnp.asarray(train_anchors[:cfg.batch_size])
+            p = jnp.asarray([fig_to_pos_figures[int(f)][0] for f in np.asarray(a)])
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(params, opt_state, a, p, sub,
+                                                 x_figures)
+            tot, nb = float(loss), 1
+            step += 1
+        vtot, vb = 0.0, 0
+        for a, p in epoch_batches(val_anchors):
+            key, sub = jax.random.split(key)
+            _, _, loss = train_step(params, opt_state, a, p, sub,
+                                    x_figures)  # fwd-only cost ok
+            vtot += float(loss)
+            vb += 1
+        val_loss = vtot / vb if vb else tot / nb
+        history["train_loss"].append(tot / nb)
+        history["val_loss"].append(val_loss)
+        logger.log(step, {"epoch": epoch, "train_loss": tot / nb,
+                          "val_loss": val_loss}, force_print=True)
+        if val_loss < best_val:
+            best_val, best_params = val_loss, jax.tree.map(lambda x: x, params)
+            patience_left = cfg.patience
+        else:
+            patience_left -= 1
+            if patience_left <= 0:
+                break
+    return best_params, history

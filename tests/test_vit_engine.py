@@ -1,0 +1,170 @@
+"""ViT encoder, input pipeline, and end-to-end retrieval engine tests."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patent_tpu.input import CLIP_MEAN, CLIP_STD, ImageBatcher, decode_image, list_images
+from patent_tpu.models.vit import (
+    TEXT_TINY,
+    VIT_TINY,
+    TextTransformer,
+    VisionTransformer,
+    finetune_param_labels,
+)
+from patent_tpu.retrieval import RetrievalEngine
+
+
+@pytest.fixture(scope="module")
+def image_dir(tmp_path_factory):
+    """Synthetic patent-figure-like dataset: 3 'patents' × 4 figures, each
+    patent a distinct base pattern + per-figure noise, named like the
+    reference corpus (USD0806928-20180102-D00001_1.png)."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("figs")
+    rng = np.random.default_rng(0)
+    paths = {}
+    for p in range(3):
+        base = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        for f in range(4):
+            img = base.copy()
+            noise = rng.integers(-20, 20, img.shape)
+            img = np.clip(img.astype(int) + noise, 0, 255).astype(np.uint8)
+            name = f"USD{700000 + p:07d}-2018010{f + 1}-D0000{f}_1.png"
+            path = str(root / name)
+            Image.fromarray(img).save(path)
+            paths.setdefault(p, []).append(path)
+    # one grayscale + one RGBA image to exercise channel fixes
+    Image.fromarray(rng.integers(0, 255, (50, 40), np.uint8), "L").save(
+        str(root / "USD0999999-20180101-D00001_1.png"))
+    Image.fromarray(rng.integers(0, 255, (40, 50, 4), np.uint8), "RGBA").save(
+        str(root / "USD0999998-20180101-D00001_1.png"))
+    return root, paths
+
+
+def test_decode_shapes_and_normalization(image_dir):
+    root, paths = image_dir
+    img = decode_image(paths[0][0], image_size=32)
+    assert img.shape == (32, 32, 3)
+    # un-normalize recovers [0, 1] range
+    raw = img * CLIP_STD + CLIP_MEAN
+    assert raw.min() >= -1e-5 and raw.max() <= 1 + 1e-5
+
+
+def test_decode_grayscale_and_rgba(image_dir):
+    root, _ = image_dir
+    for name in ["USD0999999-20180101-D00001_1.png",
+                 "USD0999998-20180101-D00001_1.png"]:
+        img = decode_image(str(root / name), image_size=32)
+        assert img is not None and img.shape == (32, 32, 3)
+
+
+def test_decode_failure_returns_none(tmp_path):
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"not a png at all")
+    assert decode_image(str(bad)) is None
+
+
+def test_batcher_fixed_shapes_and_skip(image_dir, tmp_path):
+    root, _ = image_dir
+    paths = list_images(str(root))
+    bad = tmp_path / "bad.png"
+    bad.write_bytes(b"garbage")
+    all_paths = paths + [str(bad)]
+    batcher = ImageBatcher(all_paths, batch_size=8, image_size=32, num_workers=2)
+    total_valid = 0
+    for batch, names, n_valid in batcher:
+        assert batch.shape == (8, 32, 32, 3)
+        assert len(names) == n_valid
+        total_valid += n_valid
+    assert total_valid == len(paths)  # corrupt file skipped, others kept
+
+
+def test_vit_deterministic_and_jit():
+    model = VisionTransformer(VIT_TINY)
+    x = jnp.asarray(np.random.default_rng(0).random((3, 32, 32, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    y1 = jax.jit(model.apply)(params, x)
+    y2 = jax.jit(model.apply)(params, x)
+    assert y1.shape == (3, VIT_TINY.projection_dim)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_vit_bf16_close_to_f32():
+    x = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 3)), jnp.float32)
+    m32 = VisionTransformer(VIT_TINY)
+    params = m32.init(jax.random.key(0), x)
+    y32 = m32.apply(params, x)
+    m16 = VisionTransformer(VIT_TINY, dtype=jnp.bfloat16)
+    y16 = m16.apply(params, x)
+    # bf16 compute, f32 params: small drift only
+    rel = np.abs(np.asarray(y16) - np.asarray(y32)) / (np.abs(np.asarray(y32)) + 1e-3)
+    assert float(rel.mean()) < 0.05
+
+
+def test_text_transformer_eos_pooling():
+    model = TextTransformer(TEXT_TINY)
+    ids = jnp.asarray([[5, 9, 127, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+    params = model.init(jax.random.key(0), ids)
+    y = model.apply(params, ids)
+    assert y.shape == (1, TEXT_TINY.projection_dim)
+    # causal mask: padding AFTER the EOS token cannot change the pooled output
+    ids2 = ids.at[0, 5].set(3)
+    y2 = model.apply(params, ids2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), atol=1e-5)
+
+
+def test_finetune_labels_partition():
+    model = VisionTransformer(VIT_TINY)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x)["params"]
+    labels = finetune_param_labels(params, num_trainable_blocks=1, num_layers=2)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    trainable = {jax.tree_util.keystr(p) for p, v in flat if v == "train"}
+    assert any("block_1" in t for t in trainable)
+    assert not any("block_0" in t for t in trainable)
+    assert any("projection" in t for t in trainable)
+
+
+def test_engine_end_to_end_same_patent_retrieval(image_dir, tmp_path):
+    """Full slice: decode → ViT encode → index → rank → reference metrics.
+
+    Same-patent figures share a base pattern, so even a random-init encoder
+    retrieves them first (pixel-level similarity survives random projection).
+    """
+    root, patents = image_dir
+    model = VisionTransformer(VIT_TINY)
+    x0 = jnp.zeros((1, 32, 32, 3))
+    params = model.init(jax.random.key(0), x0)
+    encode = jax.jit(lambda b: model.apply(params, b))
+
+    engine = RetrievalEngine(encode, batch_size=4, num_workers=2, image_size=32)
+    # gallery: figures 1.. of each patent; queries: figure 0 of each patent
+    gallery = [p for fig in patents.values() for p in fig[1:]]
+    queries = [fig[0] for fig in patents.values()]
+    prefix = str(tmp_path / "emb" / "test_index")
+    engine.encode_dataset(gallery, save_prefix=prefix)
+
+    gt = {os.path.basename(q): {
+        "patent_positives": [os.path.basename(p) for p in patents[i][1:]],
+        "cpc_positives": []}
+        for i, q in zip(patents.keys(), queries)}
+    metrics = engine.evaluate(queries, gt, results_path=str(tmp_path / "res.json"))
+    assert metrics.num_queries == 3
+    assert metrics.mrr > 0.9, f"same-patent figures not retrieved first: {metrics}"
+    assert metrics.recall_5 > 0.9
+    # results JSON in the reference schema
+    with open(tmp_path / "res.json") as f:
+        saved = json.load(f)
+    assert "summary_metrics" in saved and "MRR" in saved["summary_metrics"]
+    # reload saved index and ask for a single query (cell 2 API)
+    engine2 = RetrievalEngine(encode, batch_size=4, image_size=32)
+    engine2.load_embeddings(prefix)
+    res = engine2.retrieve_similar_images(queries[0], k=3)
+    assert len(res) == 3
+    assert os.path.basename(res[0][0]).startswith("USD0700000")
