@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""Headline benchmark — prints ONE JSON line.
+
+Measures the framework's serving-critical paths on the attached TPU chip
+(BASELINE.json targets: ≥10k images/sec/chip ViT-B/16 embed; ≥1k QPS exact
+top-10 over a 1M-vector index; recall parity):
+
+  * ``embed_images_per_sec``   — ViT-B/16 bf16 batched image-feature forward
+  * ``topk_qps``               — exact cosine top-10, 1M×512 gallery
+  * ``poincare_topk_qps``      — exact hyperbolic top-10 (the train_hyp head)
+  * ``recall_parity``          — blockwise TPU top-10 vs numpy brute force
+
+Timing uses iteration differencing with one device→host fetch per
+measurement: through this environment's TPU tunnel, ``block_until_ready``
+acks asynchronously, so wall-time over (N₂−N₁) extra chained iterations with
+the constant dispatch/fetch overhead cancelled is the only honest clock.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _timed_throughput(fn, fetch, units_per_iter: int,
+                      n_small: int = 5, n_large: int = 25) -> float:
+    """units/sec over (n_large − n_small) chained iterations (overhead-cancelled)."""
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        fetch(out)
+        return time.perf_counter() - t0
+
+    t_small = run(n_small)
+    t_large = run(n_large)
+    dt = max(t_large - t_small, 1e-9)
+    return (n_large - n_small) * units_per_iter / dt
+
+
+def bench_embed(batch_size: int = 256) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.models.vit import VIT_B16, VisionTransformer
+
+    model = VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 224, 224, 3)))
+    apply_jit = jax.jit(model.apply)
+    batch = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (batch_size, 224, 224, 3)).astype(np.float32))
+    sum_jit = jax.jit(jnp.sum)
+    float(sum_jit(apply_jit(params, batch)))          # compile + warm fetch
+    return _timed_throughput(lambda: apply_jit(params, batch),
+                             lambda out: float(sum_jit(out)),
+                             batch_size)
+
+
+def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,
+               n_queries: int = 256, k: int = 10,
+               similarity: str = "cosine") -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.retrieval.index import topk_search
+
+    rng = np.random.default_rng(0)
+    gallery = jnp.asarray(rng.standard_normal((n_gallery, dim)), jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((n_queries, dim)), jnp.float32)
+    if similarity == "poincare":
+        gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True) * 0.6
+        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True) * 0.6
+    sum_jit = jax.jit(jnp.sum)
+
+    def search():
+        vals, _idx = topk_search(queries, gallery, k=k, similarity=similarity,
+                                 block_size=131072)
+        return vals
+
+    float(sum_jit(search()))                          # compile + warm fetch
+    return _timed_throughput(search, lambda v: float(sum_jit(v)),
+                             n_queries, n_small=2, n_large=8)
+
+
+def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
+                        n_queries: int = 64, k: int = 10) -> float:
+    import jax.numpy as jnp
+
+    from patent_tpu.retrieval.index import topk_search
+
+    rng = np.random.default_rng(1)
+    gallery = rng.standard_normal((n_gallery, dim)).astype(np.float32)
+    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    _vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
+                             k=k, block_size=4096)
+    idx = np.asarray(idx)
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    gn = gallery / np.linalg.norm(gallery, axis=-1, keepdims=True)
+    brute = np.argsort(-(qn @ gn.T), axis=1)[:, :k]
+    overlap = [len(set(idx[i]) & set(brute[i])) / k for i in range(n_queries)]
+    return float(np.mean(overlap))
+
+
+def main() -> None:
+    from patent_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    embed_ips = bench_embed()
+    topk_qps = bench_topk(similarity="cosine")
+    poincare_qps = bench_topk(n_gallery=200_000, similarity="poincare")
+    parity = bench_recall_parity()
+
+    target = 10_000.0  # BASELINE.json: ≥10k images/sec/chip
+    result = {
+        "metric": "vit_b16_embed_throughput",
+        "value": round(embed_ips, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(embed_ips / target, 4),
+        "extras": {
+            "topk_qps_1M_cosine": round(topk_qps, 1),
+            "topk_qps_200k_poincare": round(poincare_qps, 1),
+            "recall10_parity_vs_bruteforce": parity,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,267 @@
+"""Command-line interface — the reference's public entry point, preserved.
+
+``python train.py <action> [--model --path --input_dim --hidden_dim
+--latent_dim --learning_rate --epochs]`` with the reference's action set
+(src/train.py:3799-3821):
+
+    train, train_gcn, train_hyp, train_hyp_con, train_end, train_end_2,
+    train_class, plot, train_class_pro, test, infer, dist
+
+plus framework additions: ``prep`` (ETL), ``encode`` / ``retrieve`` /
+``eval`` (the retrieval.ipynb cells 2-3 surface), ``bench``.  Three of the
+reference's declared actions (train, train_gcn, train_class) have NO handler
+there (dead options, SURVEY §2.3); here they are aliases of their working
+equivalents instead of silent no-ops.
+
+Extra ``key=value`` overrides map onto the per-stage config dataclasses
+(utils/config.py) — the reference hardcodes these inside each branch.
+
+When ``--path`` has no prepared data, a deterministic synthetic corpus
+(data/synthetic.py) is generated so every action runs end-to-end out of the
+box.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+ACTIONS = ["train", "train_gcn", "train_hyp", "train_hyp_con", "train_end",
+           "train_end_2", "train_class", "plot", "train_class_pro", "test",
+           "infer", "dist", "prep", "encode", "retrieve", "eval", "bench"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="train.py",
+        description="patent_tpu — TPU-native patent image retrieval")
+    p.add_argument("action", choices=ACTIONS)
+    # reference flags (train.py:3803-3819)
+    p.add_argument("--model", type=str, default="GE")
+    p.add_argument("--path", type=str, default="data")
+    p.add_argument("--input_dim", type=int, default=512)
+    p.add_argument("--hidden_dim", type=int, default=512)
+    p.add_argument("--latent_dim", type=int, default=128)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    # framework additions
+    p.add_argument("--query", type=str, default=None,
+                   help="query image path (retrieve action)")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="force the synthetic corpus")
+    p.add_argument("overrides", nargs="*",
+                   help="config overrides as key=value")
+    return p
+
+
+def _ensure_training_data(path: str, synthetic: bool):
+    """Load prepared training data, or build it from the synthetic corpus."""
+    from ..data import (build_feature_matrix, build_hetero_graph,
+                        prepare_training_data, synthetic as synth)
+    from ..data.prep import TrainingData
+
+    prep_dir = os.path.join(path, "prepared_training_data")
+    if not synthetic and os.path.exists(os.path.join(prep_dir,
+                                                     "training_data.npz")):
+        return TrainingData.load(prep_dir)
+    print(f"[patent_tpu] no prepared data under {prep_dir}; "
+          "building synthetic corpus")
+    records = synth.synthetic_records(num_patents=40, figures_per_patent=4,
+                                      seed=0)
+    graph = build_hetero_graph(records)
+    feats = synth.synthetic_features(records, dim=64, seed=0)
+    x = build_feature_matrix(graph, feats, feature_dim=64)
+    td = prepare_training_data(graph, x, neg_ratio=5, fig_pair_ratio=3, seed=0)
+    td.save(prep_dir)
+    return td
+
+
+def _ensure_graph(path: str, synthetic: bool):
+    from ..data import (build_feature_matrix, build_hetero_graph,
+                        sample_figure_pairs, synthetic as synth)
+
+    records = synth.synthetic_records(num_patents=40, figures_per_patent=4,
+                                      seed=0)
+    graph = build_hetero_graph(records)
+    feats = synth.synthetic_features(records, dim=64, seed=0)
+    x = build_feature_matrix(graph, feats, feature_dim=64)
+    pair_data = sample_figure_pairs(records, num_samples=20000,
+                                    cap_per_level=2000, seed=0)
+    return graph, x, pair_data
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from ..utils.config import (GCNTrainConfig, HypConTrainConfig,
+                                HypTrainConfig, apply_overrides)
+    from ..utils.logging import MetricsLogger
+    from ..utils.checkpoint import CheckpointManager
+
+    action = args.action
+    logger = MetricsLogger(log_dir=os.path.join(args.path, "logs"),
+                           run_name=action)
+
+    if action in ("train_hyp", "test", "infer", "dist"):
+        cfg = HypTrainConfig()
+        if args.learning_rate:
+            cfg.learning_rate = args.learning_rate
+        if args.epochs:
+            cfg.epochs = args.epochs
+        cfg.embed_dim = args.latent_dim
+        apply_overrides(cfg, args.overrides)
+        td = _ensure_training_data(args.path, args.synthetic)
+
+        from ..train.train_hyp import train_hyperbolic_retrieval
+        from ..train.evaluate import distance_analysis, evaluate_retrieval_map
+        from ..models.hyperbolic import HyperbolicEmbeddingModel
+
+        if action == "train_hyp":
+            ckpt = CheckpointManager(os.path.join(args.path, "models"))
+            best_params, history = train_hyperbolic_retrieval(
+                td, cfg, logger=logger, ckpt=ckpt)
+            # final test-split mAP (reference train.py:1642-1757)
+            from ..data.prep import figure_pair_maps
+            fig_pos = {}
+            for f, p in td.y_pos.tolist():
+                fig_pos.setdefault(f, []).append(p)
+            model = HyperbolicEmbeddingModel(
+                feature_dim=td.x_figures.shape[1], embed_dim=cfg.embed_dim,
+                label_num=cfg.label_num or td.num_labels,
+                hidden_dims=tuple(cfg.hidden_dims), c=cfg.curvature)
+            num_patents = (td.label_offsets["medium_cpcs"] -
+                           td.label_offsets["patents"])
+            test_map = evaluate_retrieval_map(
+                model, best_params, td.x_figures, history["test_indices"],
+                fig_pos, num_patents)
+            print(f"test mAP (label retrieval): {test_map:.4f}")
+            return 0
+
+        # test / infer / dist need a trained checkpoint
+        ckpt = CheckpointManager(os.path.join(args.path, "models"))
+        name = (args.checkpoint or
+                f"best_retrieval_model_c{cfg.curvature}_e{cfg.embed_dim}")
+        if not ckpt.exists(name):
+            print(f"no checkpoint {name!r} under {args.path}/models — "
+                  "run train_hyp first", file=sys.stderr)
+            return 1
+        state = ckpt.restore(name)
+        params = state["params"]
+        model = HyperbolicEmbeddingModel(
+            feature_dim=td.x_figures.shape[1], embed_dim=cfg.embed_dim,
+            label_num=params["label_emb"].shape[0],
+            hidden_dims=tuple(cfg.hidden_dims), c=cfg.curvature)
+        fig_pos: dict[int, list[int]] = {}
+        for f, p in td.y_pos.tolist():
+            fig_pos.setdefault(f, []).append(p)
+        num_patents = (td.label_offsets["medium_cpcs"] -
+                       td.label_offsets["patents"])
+        if action in ("test", "infer"):
+            test_map = evaluate_retrieval_map(
+                model, params, td.x_figures, sorted(fig_pos), fig_pos,
+                num_patents)
+            print(f"mAP (label retrieval): {test_map:.4f}")
+        if action == "dist":
+            analysis = distance_analysis(model, params, td.x_figures,
+                                         td.y_pos, td.label_offsets,
+                                         td.implication)
+            print(json.dumps(analysis, indent=2))
+        return 0
+
+    if action == "train_hyp_con":
+        cfg = HypConTrainConfig()
+        if args.learning_rate:
+            cfg.learning_rate = args.learning_rate
+        if args.epochs:
+            cfg.epochs = args.epochs
+        apply_overrides(cfg, args.overrides)
+        td = _ensure_training_data(args.path, args.synthetic)
+        from ..train.train_hyp_con import train_hyperbolic_contrastive
+
+        train_hyperbolic_contrastive(td, cfg, logger=logger)
+        return 0
+
+    if action in ("train_class_pro", "train_class", "train_gcn", "train"):
+        # the reference declares train/train_gcn/train_class but only
+        # train_class_pro has a handler (SURVEY §2.3) — alias them here
+        cfg = GCNTrainConfig()
+        if args.learning_rate:
+            cfg.learning_rate = args.learning_rate
+        if args.epochs:
+            cfg.epochs = args.epochs
+        cfg.hidden_dim = args.hidden_dim
+        cfg.latent_dim = args.latent_dim
+        apply_overrides(cfg, args.overrides)
+        graph, x, pair_data = _ensure_graph(args.path, args.synthetic)
+        pairs = np.asarray(pair_data["pairs"], np.int32)
+        labels = np.asarray(pair_data["labels"], np.int32) - 1
+        cfg.input_dim = x.shape[1]
+        from ..train.train_gcn import (export_graph_embeddings,
+                                       train_pair_classification)
+
+        variables, history, report = train_pair_classification(
+            x, graph.adjacency.toarray(), pairs, labels, cfg, logger=logger)
+        print(json.dumps({k: v for k, v in report.items()
+                          if k != "confusion_matrix"}, indent=2))
+        # export graph embeddings for the alignment stage (L9)
+        emb = export_graph_embeddings(
+            variables, x, graph.adjacency.toarray(), cfg.hidden_dim,
+            cfg.latent_dim, cfg.num_layers, graph.figure_index)
+        out_dir = os.path.join(args.path, "graph_embeddings")
+        os.makedirs(out_dir, exist_ok=True)
+        import pickle
+
+        with open(os.path.join(out_dir,
+                               f"image_ge_embeddings_{args.model}.pkl"),
+                  "wb") as f:
+            pickle.dump(emb, f)
+        print(f"graph embeddings -> {out_dir}")
+        return 0
+
+    if action in ("train_end", "train_end_2"):
+        from ..train.train_end import run_end_to_end_synthetic
+
+        run_end_to_end_synthetic(args.path, epochs=args.epochs or 2,
+                                 logger=logger)
+        return 0
+
+    if action == "plot":
+        from ..train.plots import run_plot_action
+
+        run_plot_action(args.path, checkpoint=args.checkpoint)
+        return 0
+
+    if action == "prep":
+        td = _ensure_training_data(args.path, synthetic=True)
+        print(f"prepared: {len(td.y_pos)} Y_pos, {len(td.y_neg)} Y_neg, "
+              f"{len(td.implication)} implications, "
+              f"{td.num_labels} labels")
+        return 0
+
+    if action in ("encode", "retrieve", "eval"):
+        from ..retrieval.cli_actions import run_retrieval_action
+
+        return run_retrieval_action(action, args)
+
+    if action == "bench":
+        os.execvp(sys.executable,
+                  [sys.executable,
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.dirname(os.path.abspath(__file__)))),
+                       "bench.py")])
+
+    print(f"unhandled action {action}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,3 +30,4 @@ from .horosphere import (  # noqa: F401
     insideness,
     insideness_unit,
 )
+from .pallas_kernels import mobius_dense_pallas, pairwise_dist_pallas  # noqa: F401

@@ -1,0 +1,122 @@
+"""CLI glue for the retrieval surface (encode / retrieve / eval actions).
+
+Mirrors the notebook "serving" layer (retrieval.ipynb cells 2-3) as CLI
+actions.  With no real corpus under ``--path``, a synthetic corpus is
+generated so the full encode → index → retrieve → evaluate loop runs out of
+the box; the encoder is the Flax ViT (random init unless a local HF CLIP
+checkpoint is supplied via ``--checkpoint``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _build_encoder(args, image_size: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.vit import (VIT_B16, VisionConfig, VisionTransformer,
+                              load_hf_clip_params)
+
+    if image_size == 224:
+        config = VIT_B16
+    else:
+        config = VisionConfig(image_size=image_size, patch_size=8,
+                              hidden_dim=64, num_layers=2, num_heads=4,
+                              mlp_dim=128, projection_dim=64)
+    model = VisionTransformer(config, dtype=jnp.bfloat16)
+    if args.checkpoint and os.path.isdir(args.checkpoint):
+        params = {"params": load_hf_clip_params(args.checkpoint, config)}
+        print(f"loaded CLIP weights from {args.checkpoint}")
+    else:
+        params = jax.jit(model.init)(
+            jax.random.key(0),
+            jnp.zeros((1, image_size, image_size, 3)))
+        print("using randomly initialized encoder "
+              "(pass --checkpoint <hf_clip_dir> for trained weights)")
+    apply_jit = jax.jit(model.apply)   # params as ARGUMENT (never a closure)
+    return lambda batch: apply_jit(params, batch)
+
+
+def _corpus(args, image_size: int):
+    """(gallery_dir, query_dir, ground_truth_path) — real if present under
+    --path, else synthetic."""
+    gallery = os.path.join(args.path, "test_gallery")
+    query = os.path.join(args.path, "test_query")
+    gt = os.path.join(args.path, "ground_truth.json")
+    if os.path.isdir(gallery) and os.path.isdir(query) and os.path.exists(gt):
+        return gallery, query, gt
+
+    from ..data import (build_ground_truth, save_ground_truth,
+                        split_query_gallery, synthetic)
+
+    root = os.path.join(args.path, "synthetic_retrieval")
+    print(f"[patent_tpu] no corpus under {args.path}; generating synthetic "
+          f"corpus at {root}")
+    records = synthetic.synthetic_records(num_patents=16,
+                                          figures_per_patent=4, seed=0)
+    q_recs, g_recs = split_query_gallery(records, seed=42)
+    gallery = os.path.join(root, "test_gallery")
+    query = os.path.join(root, "test_query")
+    synthetic.write_synthetic_images(g_recs, gallery, image_size=image_size,
+                                     seed=0)
+    synthetic.write_synthetic_images(q_recs, query, image_size=image_size,
+                                     seed=0)
+    gt_data = build_ground_truth(q_recs, g_recs, max_month=None)
+    gt = os.path.join(root, "ground_truth.json")
+    save_ground_truth(gt_data, gt)
+    return gallery, query, gt
+
+
+def run_retrieval_action(action: str, args) -> int:
+    from .engine import RetrievalEngine
+
+    image_size = 224 if not args.synthetic else 64
+    # use the small encoder for synthetic corpora (fast everywhere)
+    if args.synthetic or not os.path.isdir(os.path.join(args.path,
+                                                        "test_gallery")):
+        image_size = 64
+    encode = _build_encoder(args, image_size)
+    engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
+                             num_workers=4)
+    gallery_dir, query_dir, gt_path = _corpus(args, image_size)
+    prefix = os.path.join(args.path, "embeddings",
+                          f"index_{os.path.basename(gallery_dir)}")
+
+    if action == "encode":
+        index = engine.encode_dataset(gallery_dir, save_prefix=prefix)
+        print(f"encoded {len(index)} gallery images -> {prefix}.npy")
+        return 0
+
+    # retrieve / eval: reuse saved index when present
+    if os.path.exists(prefix + ".npy"):
+        engine.load_embeddings(prefix)
+    else:
+        engine.encode_dataset(gallery_dir, save_prefix=prefix)
+
+    if action == "retrieve":
+        qpath = args.query
+        if qpath is None:
+            from ..input.pipeline import list_images
+
+            qpath = list_images(query_dir)[0]
+            print(f"no --query given; using {qpath}")
+        for name, score in engine.retrieve_similar_images(qpath, k=args.k):
+            print(f"{score:.4f}  {os.path.basename(name)}")
+        return 0
+
+    if action == "eval":
+        results_path = os.path.join(
+            args.path, "results",
+            f"evaluation_results_{args.model}.json")
+        metrics = engine.evaluate(query_dir, gt_path,
+                                  results_path=results_path)
+        print(metrics)
+        print(f"detailed results -> {results_path}")
+        return 0
+
+    return 1

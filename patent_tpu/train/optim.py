@@ -83,7 +83,12 @@ def riemannian_adam(learning_rate: float | optax.Schedule,
     def update_fn(updates, state, params=None):
         if params is None:
             raise ValueError("riemannian_adam requires params")
-        m = mask if mask is not None else manifold_mask(params)
+        if mask is True:       # whole subtree is manifold points (e.g. when
+            m = jax.tree.map(lambda _: True, params)   # nested in multi_transform)
+        elif mask is None:
+            m = manifold_mask(params)
+        else:
+            m = mask
         count = state.count + 1
         lr = get_lr(state.count)
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)

@@ -1,0 +1,67 @@
+"""CLI surface + driver entry-point tests (tiny configs, CPU)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def run_cli(argv):
+    from patent_tpu.cli.main import main
+
+    return main(argv)
+
+
+def test_prep_action(tmp_path):
+    assert run_cli(["prep", "--path", str(tmp_path)]) == 0
+    assert os.path.exists(tmp_path / "prepared_training_data" /
+                          "training_data.npz")
+    with open(tmp_path / "prepared_training_data" / "label_offsets.json") as f:
+        offsets = json.load(f)
+    assert "num_labels" in offsets and "patents" in offsets
+
+
+def test_train_hyp_action_and_artifacts(tmp_path):
+    rc = run_cli(["train_hyp", "--path", str(tmp_path), "--epochs", "2",
+                  "batch_size=32", "embed_dim=8", "hidden_dims=[16]"])
+    assert rc == 0
+    models = os.listdir(tmp_path / "models")
+    assert any(m.startswith("best_retrieval_model") for m in models)
+    # test action reuses the checkpoint
+    rc = run_cli(["test", "--path", str(tmp_path),
+                  "embed_dim=8", "hidden_dims=[16]"])
+    assert rc == 0
+
+
+def test_test_action_without_checkpoint(tmp_path):
+    rc = run_cli(["test", "--path", str(tmp_path)])
+    assert rc == 1  # clear failure, not a crash
+
+
+def test_unknown_override_rejected(tmp_path):
+    with pytest.raises(ValueError, match="unknown config field"):
+        run_cli(["train_hyp", "--path", str(tmp_path), "not_a_field=3"])
+
+
+def test_entry_forward():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, (params, batch) = g.entry()
+    out = jax.jit(fn)(params, batch)
+    assert out.shape == (8, 128)
+    assert bool(np.all(np.isfinite(np.asarray(out, np.float32))))
+    # hyperbolic head output lies in the c=2 ball
+    norms = np.linalg.norm(np.asarray(out, np.float32), axis=-1)
+    assert norms.max() <= 1 / np.sqrt(2) + 1e-4
+
+
+def test_dryrun_multichip(eight_devices):
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

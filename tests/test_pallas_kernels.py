@@ -1,0 +1,75 @@
+"""Pallas kernel parity tests (interpret mode on CPU) vs the pure-jax oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patent_tpu.ops import poincare
+from patent_tpu.ops import pallas_kernels as pk
+
+
+def rand_ball(rng, n, d, c=1.0, scale=0.7):
+    v = rng.standard_normal((n, d))
+    r = rng.uniform(0.05, scale, (n, 1)) / np.sqrt(c)
+    return jnp.asarray(v / np.linalg.norm(v, axis=-1, keepdims=True) * r,
+                       jnp.float32)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas kernels in interpreter mode on CPU."""
+    if not pk._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+@pytest.mark.parametrize("c", [1.0, 2.0])
+@pytest.mark.parametrize("shape", [(40, 30, 16), (256, 256, 128), (100, 300, 64)])
+def test_pairwise_matches_jax(rng, c, shape):
+    n, m, d = shape
+    x = rand_ball(rng, n, d, c)
+    y = rand_ball(rng, m, d, c)
+    got = pk.pairwise_dist_pallas(x, y, c, block_n=128, block_m=128, force=True)
+    want = poincare.pairwise_dist(x, y, c)
+    assert got.shape == (n, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_pairwise_fallback_off_tpu(rng):
+    """Without force, off-TPU calls use the pure-jax path (identical result)."""
+    x = rand_ball(rng, 8, 8)
+    y = rand_ball(rng, 8, 8)
+    got = pk.pairwise_dist_pallas(x, y, 1.0)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(poincare.pairwise_dist(x, y, 1.0)),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("c", [1.0, 2.0])
+def test_mobius_dense_matches_jax(rng, c):
+    n, din, dout = 100, 48, 24
+    x = jnp.asarray(rng.standard_normal((n, din)) * 0.3, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((din, dout)) * 0.2, jnp.float32)
+    bias = np.asarray(poincare.expmap0(
+        jnp.asarray(rng.standard_normal(dout) * 1e-3, jnp.float32), c))
+    got = pk.mobius_dense_pallas(x, w, jnp.asarray(bias), c, block_n=64,
+                                 force=True)
+    h = poincare.expmap0(jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST), c)
+    want = poincare.project(poincare.mobius_add(h, jnp.asarray(bias), c), c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-3)
+
+
+def test_mobius_dense_output_on_ball(rng):
+    c = 2.0
+    x = jnp.asarray(rng.standard_normal((32, 16)) * 5.0, jnp.float32)  # big
+    w = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    bias = jnp.zeros(8)
+    out = pk.mobius_dense_pallas(x, w, bias, c, block_n=32, force=True)
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    assert norms.max() <= (1 - 3e-3) / np.sqrt(c) + 1e-5

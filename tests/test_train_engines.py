@@ -1,0 +1,176 @@
+"""Integration tests: each training engine runs a few steps on synthetic data
+and the loss decreases; checkpoints round-trip (SURVEY §4 test strategy (c))."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patent_tpu.data import (
+    build_feature_matrix,
+    build_hetero_graph,
+    prepare_training_data,
+    sample_figure_pairs,
+    synthetic,
+)
+from patent_tpu.utils.checkpoint import CheckpointManager
+from patent_tpu.utils.config import (
+    EndToEndConfig,
+    GCNTrainConfig,
+    HypConTrainConfig,
+    HypTrainConfig,
+)
+from patent_tpu.utils.logging import MetricsLogger
+
+
+@pytest.fixture(scope="module")
+def prepared():
+    records = synthetic.synthetic_records(num_patents=24, figures_per_patent=4,
+                                          seed=0)
+    graph = build_hetero_graph(records)
+    feats = synthetic.synthetic_features(records, dim=32, seed=0)
+    x = build_feature_matrix(graph, feats, feature_dim=32)
+    td = prepare_training_data(graph, x, neg_ratio=4, fig_pair_ratio=2, seed=0)
+    return records, graph, x, td
+
+
+def quiet_logger():
+    return MetricsLogger(print_every=0)
+
+
+def test_train_hyp_descends_and_checkpoints(prepared, tmp_path):
+    _, _, _, td = prepared
+    cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=4,
+                         batch_size=32, learning_rate=5e-3, patience=10,
+                         curvature=1.0)
+    ckpt = CheckpointManager(str(tmp_path))
+    best_params, history = __import__(
+        "patent_tpu.train.train_hyp", fromlist=["train_hyperbolic_retrieval"]
+    ).train_hyperbolic_retrieval(td, cfg, logger=quiet_logger(), ckpt=ckpt)
+    assert len(history["train_loss"]) >= 2
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    # best checkpoint with the reference-style name exists and restores
+    name = "best_retrieval_model_c1.0_e8"
+    assert ckpt.exists(name)
+    state = ckpt.restore(name)
+    np.testing.assert_array_equal(
+        np.asarray(state["params"]["label_emb"]),
+        np.asarray(best_params["label_emb"]))
+    # labels remain on the ball
+    norms = np.linalg.norm(np.asarray(best_params["label_emb"]), axis=-1)
+    assert norms.max() < 1.0
+
+
+def test_train_hyp_final_map_evaluation(prepared):
+    _, _, _, td = prepared
+    from patent_tpu.models.hyperbolic import HyperbolicEmbeddingModel
+    from patent_tpu.train.evaluate import evaluate_retrieval_map
+
+    cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=2,
+                         batch_size=32, curvature=1.0)
+    best_params, history = __import__(
+        "patent_tpu.train.train_hyp", fromlist=["train_hyperbolic_retrieval"]
+    ).train_hyperbolic_retrieval(td, cfg, logger=quiet_logger())
+    model = HyperbolicEmbeddingModel(feature_dim=td.x_figures.shape[1],
+                                     embed_dim=8, label_num=td.num_labels,
+                                     hidden_dims=(16,), c=1.0)
+    fig_pos: dict[int, list[int]] = {}
+    for f, p in td.y_pos.tolist():
+        fig_pos.setdefault(f, []).append(p)
+    num_patents = td.label_offsets["medium_cpcs"] - td.label_offsets["patents"]
+    m = evaluate_retrieval_map(model, best_params, td.x_figures,
+                               history["test_indices"], fig_pos, num_patents)
+    assert 0.0 <= m <= 1.0
+
+
+def test_train_hyp_con_descends(prepared):
+    _, _, _, td = prepared
+    from patent_tpu.train.train_hyp_con import train_hyperbolic_contrastive
+
+    cfg = HypConTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=3,
+                            batch_size=16)
+    _params, history = train_hyperbolic_contrastive(td, cfg,
+                                                    logger=quiet_logger())
+    assert history["train_loss"][-1] < history["train_loss"][0]
+
+
+def test_train_gcn_descends_and_reports(prepared):
+    records, graph, x, _ = prepared
+    pair_data = sample_figure_pairs(records, num_samples=4000,
+                                    cap_per_level=300, seed=0)
+    pairs = np.asarray(pair_data["pairs"], np.int32)
+    labels = np.asarray(pair_data["labels"], np.int32) - 1
+    from patent_tpu.train.train_gcn import (export_graph_embeddings,
+                                            train_pair_classification)
+
+    cfg = GCNTrainConfig(hidden_dim=16, latent_dim=8, epochs=4, batch_size=128,
+                         learning_rate=5e-3)
+    variables, history, report = train_pair_classification(
+        x, graph.adjacency.toarray(), pairs, labels, cfg,
+        logger=quiet_logger())
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert "f1" in report and len(report["f1"]) == 5
+    emb = export_graph_embeddings(variables, x, graph.adjacency.toarray(),
+                                  16, 8, 3, graph.figure_index)
+    assert len(emb) == len(graph.figure_index)
+    v = next(iter(emb.values()))
+    assert v.shape == (8,)
+    np.testing.assert_allclose(np.linalg.norm(v), 1.0, atol=1e-4)
+
+
+def test_finetune_clip_step(prepared):
+    """CLIP fine-tune with graph alignment: one step runs, alpha schedule OK."""
+    from patent_tpu.models.vit import VisionConfig
+    from patent_tpu.train.finetune_clip import (alpha_schedule,
+                                                init_finetune_state,
+                                                make_finetune_step)
+    from patent_tpu.utils.config import ClipFinetuneConfig
+
+    cfg = ClipFinetuneConfig(batch_size=4)
+    vc = VisionConfig(image_size=16, patch_size=8, hidden_dim=32, num_layers=2,
+                      num_heads=4, mlp_dim=64, projection_dim=32)
+    vgae = np.random.default_rng(0).standard_normal((50, 24)).astype(np.float32)
+    (vit, head), params, optimizer, opt_state = init_finetune_state(
+        vc, cfg, vgae)
+    step, eval_step = make_finetune_step(vit, head, optimizer, cfg)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((8, 16, 16, 3)), jnp.float32)
+    node_idx = jnp.asarray(rng.integers(0, 50, (4,)), jnp.int32)
+    losses = []
+    p, s = params, opt_state
+    for i in range(5):
+        p, s, metrics = step(p, s, images, node_idx,
+                             alpha_schedule(i, cfg))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # frozen blocks must not move (block_0 is outside the last-9 window
+    # for a 2-layer model with trainable_blocks=9 → all blocks trainable;
+    # check the patch embed instead, which is always frozen)
+    np.testing.assert_array_equal(
+        np.asarray(p["vit"]["patch_embed"]["kernel"]),
+        np.asarray(params["vit"]["patch_embed"]["kernel"]))
+    # alpha schedule matches the cell-20 warm-up
+    assert alpha_schedule(0, cfg) == pytest.approx(cfg.alpha_max / 5)
+    assert alpha_schedule(7, cfg) == cfg.alpha_max
+
+
+def test_end_to_end_synthetic(tmp_path):
+    from patent_tpu.train.train_end import run_end_to_end_synthetic
+
+    out = run_end_to_end_synthetic(str(tmp_path), epochs=1,
+                                   logger=quiet_logger(), image_size=16)
+    assert out["steps"] > 0
+    assert np.isfinite(out["metrics"]["total_loss"])
+
+
+def test_pca_whiten_shapes():
+    from patent_tpu.train.finetune_clip import pca_whiten
+
+    m = np.random.default_rng(0).standard_normal((40, 64))
+    w = pca_whiten(m, dim=16)
+    assert w.shape == (40, 16)
+    # whitened: unit variance per component
+    np.testing.assert_allclose(w[:, :8].std(axis=0), 1.0, atol=0.2)
