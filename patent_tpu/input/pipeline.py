@@ -89,13 +89,19 @@ class ImageBatcher:
 
     def __init__(self, image_paths: Sequence[str], batch_size: int = 128,
                  image_size: int = IMAGE_SIZE, num_workers: int = 8,
-                 prefetch: int = 4, drop_remainder: bool = False):
+                 prefetch: int = 4, drop_remainder: bool = False,
+                 use_native: bool | None = None):
         self.image_paths = list(image_paths)
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_remainder = drop_remainder
+        if use_native is None:
+            from . import native
+
+            use_native = native.native_available()
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.image_paths)
@@ -114,6 +120,9 @@ class ImageBatcher:
         n = len(paths)
         if self.drop_remainder:
             n = (n // self.batch_size) * self.batch_size
+        if self.use_native:
+            yield from self._iter_native(paths, n)
+            return
         window = max(self.batch_size * self.prefetch, self.batch_size)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             futures: deque[tuple[cf.Future, str]] = deque()
@@ -146,6 +155,71 @@ class ImageBatcher:
                         n_valid += 1
                 consumed += take
                 yield batch, names, n_valid
+
+
+def _native_decode_chunk(chunk: list[str], image_size: int,
+                         num_threads: int) -> tuple[np.ndarray, list[int]]:
+    """C++ threaded decode of one chunk + PIL retry for failed files.
+
+    Returns (images [len(chunk), S, S, 3] in chunk order with failed rows
+    dropped later, list of surviving positions)."""
+    from . import native
+
+    batch, ok = native.decode_batch_native(chunk, image_size, num_threads)
+    survivors: list[int] = []
+    for i, good in enumerate(ok):
+        if good:
+            survivors.append(i)
+            continue
+        retry = decode_image(chunk[i], image_size)   # non-PNG / exotic → PIL
+        if retry is not None:
+            batch[i] = retry
+            survivors.append(i)
+    return batch, survivors
+
+
+# keep a reference to the method on the class (defined after the helper so it
+# can call it)
+def _iter_native(self, paths, n):
+    """Batch iterator backed by the native decoder (native/patent_io.cc):
+    the C++ thread pool decodes chunks while the previous chunk is consumed."""
+    import concurrent.futures as cf
+
+    executor = cf.ThreadPoolExecutor(1)   # pipeline: one chunk in flight
+    try:
+        pending = None
+        starts = list(range(0, n, self.batch_size))
+        for bi, start in enumerate(starts):
+            chunk = paths[start:min(start + self.batch_size, n)]
+            if pending is None:
+                pending = executor.submit(_native_decode_chunk, chunk,
+                                          self.image_size, self.num_workers)
+                cur_chunk = chunk
+                continue
+            nxt = executor.submit(_native_decode_chunk, chunk,
+                                  self.image_size, self.num_workers)
+            batch, survivors = pending.result()
+            yield self._emit(batch, cur_chunk, survivors)
+            pending, cur_chunk = nxt, chunk
+        if pending is not None:
+            batch, survivors = pending.result()
+            yield self._emit(batch, cur_chunk, survivors)
+    finally:
+        executor.shutdown(wait=False)
+
+
+def _emit(self, batch, chunk, survivors):
+    out = np.zeros((self.batch_size, self.image_size, self.image_size, 3),
+                   np.float32)
+    names = []
+    for slot, pos in enumerate(survivors):
+        out[slot] = batch[pos]
+        names.append(chunk[pos])
+    return out, names, len(survivors)
+
+
+ImageBatcher._iter_native = _iter_native
+ImageBatcher._emit = _emit
 
 
 def shard_paths_per_host(paths: Sequence[str], host_id: int, num_hosts: int) -> list[str]:
