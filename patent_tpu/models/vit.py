@@ -78,6 +78,7 @@ TEXT_TINY = TextConfig(vocab_size=128, context_length=16, hidden_dim=64,
 class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
+    use_flash: bool = False   # fused Pallas attention (ops/flash_attention.py)
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
@@ -91,12 +92,18 @@ class Attention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
-        if mask is not None:
-            attn = attn + mask
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
+        if self.use_flash and mask is None and q.ndim == 4:
+            from ..ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v)
+        else:
+            scale = 1.0 / np.sqrt(head_dim)
+            attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
+            if mask is not None:
+                attn = attn + mask
+            attn = jax.nn.softmax(attn.astype(jnp.float32),
+                                  axis=-1).astype(self.dtype)
+            out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
         out = out.reshape(*out.shape[:-2], d)
         return nn.Dense(d, dtype=self.dtype, name="out")(out)
 
@@ -105,11 +112,13 @@ class TransformerBlock(nn.Module):
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
-        x = x + Attention(self.num_heads, dtype=self.dtype, name="attn")(h, mask)
+        x = x + Attention(self.num_heads, dtype=self.dtype,
+                          use_flash=self.use_flash, name="attn")(h, mask)
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = quick_gelu(h)
@@ -123,6 +132,7 @@ class VisionTransformer(nn.Module):
     config: VisionConfig = VIT_B16
     dtype: Any = jnp.float32
     remat: bool = False
+    use_flash: bool = False   # fused Pallas attention on TPU
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
@@ -148,7 +158,7 @@ class VisionTransformer(nn.Module):
             block = nn.remat(TransformerBlock)
         for i in range(cfg.num_layers):
             x = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
-                      name=f"block_{i}")(x)
+                      use_flash=self.use_flash, name=f"block_{i}")(x)
 
         x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,

@@ -73,3 +73,43 @@ def test_mobius_dense_output_on_ball(rng):
     out = pk.mobius_dense_pallas(x, w, bias, c, block_n=32, force=True)
     norms = np.linalg.norm(np.asarray(out), axis=-1)
     assert norms.max() <= (1 - 3e-3) / np.sqrt(c) + 1e-5
+
+
+# ---------------------------------------------------------------- flash ---
+
+def test_flash_attention_matches_xla(rng):
+    from patent_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    got = flash_attention(q, k, v, force=True)
+    scale = 1.0 / np.sqrt(16)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), -1)
+    want = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-2)
+
+
+def test_flash_attention_fallback_off_tpu(rng):
+    from patent_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((1, 5, 2, 8)), jnp.float32)
+    out = flash_attention(q, q, q)     # no force → XLA path on CPU
+    assert out.shape == (1, 5, 2, 8)
+    # rows of softmax sum to 1 → output within convex hull of values
+    assert float(jnp.max(jnp.abs(out))) <= float(jnp.max(jnp.abs(q))) + 1e-4
+
+
+def test_vit_with_flash_flag_matches_without(rng):
+    """use_flash=True on CPU takes the fallback path — identical outputs."""
+    from patent_tpu.models.vit import VIT_TINY, VisionTransformer
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    m1 = VisionTransformer(VIT_TINY)
+    params = m1.init(jax.random.key(0), x)
+    y1 = m1.apply(params, x)
+    m2 = VisionTransformer(VIT_TINY, use_flash=True)
+    y2 = m2.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
