@@ -166,3 +166,16 @@ def load_graph(adjacency_path: str, features_path: str
     feats = sp.load_npz(features_path).toarray().astype(np.float32) \
         if features_path.endswith(".npz") else np.load(features_path)
     return feats.astype(np.float32), adj
+
+
+def process_patent_graph(adjacency_path: str, features_path: str):
+    """Load + symmetric-normalize in one call (reference
+    ``process_patent_graph``, src/process_graph.py:133-167): returns
+    (X float32, A_tilde float32) ready for the GCN trainers."""
+    import jax.numpy as jnp
+
+    from ..models.gcn import normalize_adjacency
+
+    x, adj = load_graph(adjacency_path, features_path)
+    a_tilde = np.asarray(normalize_adjacency(jnp.asarray(adj)))
+    return x, a_tilde

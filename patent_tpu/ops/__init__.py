@@ -31,3 +31,4 @@ from .horosphere import (  # noqa: F401
     insideness_unit,
 )
 from .pallas_kernels import mobius_dense_pallas, pairwise_dist_pallas  # noqa: F401
+from .flash_attention import flash_attention  # noqa: F401

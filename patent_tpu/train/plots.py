@@ -117,6 +117,45 @@ def plot_dist0_histograms(label_emb: np.ndarray, label_offsets: dict[str, int],
     return [path]
 
 
+def plot_graph_embeddings(z: np.ndarray, figure_count: int, out_dir: str,
+                          highlight_patent_rows: dict[str, list[int]] | None = None,
+                          method: str = "pca", seed: int = 0) -> str:
+    """2-D projection of GCN/VGAE node embeddings with figures vs labels
+    distinguished and optional highlighted patents (reference
+    src/plot.py:10-78 visualize_patent_embeddings, with its broken imports
+    fixed by taking embeddings directly)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    z = np.asarray(z)
+    if method == "tsne" and len(z) <= 5000:
+        from sklearn.manifold import TSNE
+
+        proj = TSNE(n_components=2, random_state=seed,
+                    perplexity=min(30, max(2, len(z) // 4))).fit_transform(z)
+    else:
+        from sklearn.decomposition import PCA
+
+        proj = PCA(n_components=2, random_state=seed).fit_transform(z)
+    fig, ax = plt.subplots(figsize=(9, 8))
+    ax.scatter(proj[:figure_count, 0], proj[:figure_count, 1], s=4, alpha=0.3,
+               marker=".", label="figures")
+    ax.scatter(proj[figure_count:, 0], proj[figure_count:, 1], s=14, alpha=0.7,
+               marker="^", label="label nodes")
+    for name, rows in (highlight_patent_rows or {}).items():
+        rows = [r for r in rows if r < len(proj)]
+        ax.scatter(proj[rows, 0], proj[rows, 1], s=60, marker="*", label=name)
+    ax.legend()
+    ax.set_title(f"graph embeddings ({method})")
+    path = os.path.join(out_dir, f"graph_embeddings_{method}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path
+
+
 def run_plot_action(path: str, checkpoint: str | None = None) -> list[str]:
     """CLI ``plot``: load the trained hyperbolic checkpoint (or a fresh init)
     and produce the t-SNE + dist0 figures."""

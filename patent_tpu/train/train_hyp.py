@@ -197,9 +197,14 @@ def _batch_arrays(b: HypBatch):
 
 def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
                                logger: MetricsLogger | None = None,
-                               ckpt: CheckpointManager | None = None
-                               ) -> tuple[dict, dict]:
+                               ckpt: CheckpointManager | None = None,
+                               resume: bool = False) -> tuple[dict, dict]:
     """Full training loop: split → epochs → validation → best ckpt → early stop.
+
+    With ``resume=True`` and a ``latest`` checkpoint under ``ckpt``, training
+    continues from the saved params + optimizer state + epoch — TRUE resume,
+    which the reference cannot do (it only restores best weights at the end,
+    SURVEY §5 / train.py:1643-1644).
 
     Returns (best_params, history).
     """
@@ -241,7 +246,20 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
     patience_left = cfg.patience
     history: dict[str, list] = {"train_loss": [], "val_loss": []}
     step = 0
-    for epoch in range(1, cfg.epochs + 1):
+    start_epoch = 1
+    if resume and ckpt is not None and ckpt.exists("latest"):
+        saved = ckpt.restore("latest")
+        params = jax.tree.map(jnp.asarray, saved["params"])
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(opt_state),
+            [jnp.asarray(l) for l in
+             jax.tree_util.tree_leaves(saved["opt_state"])])
+        step = int(saved["step"])
+        start_epoch = int(saved["epoch"]) + 1
+        best_val = float(saved.get("best_val", best_val))
+        logger.log(step, {"resumed_from_epoch": start_epoch - 1},
+                   force_print=True)
+    for epoch in range(start_epoch, cfg.epochs + 1):
         epoch_metrics: dict[str, float] = {}
         nb = 0
         for batch in make_batches(td, train_idx, cfg.batch_size,
@@ -278,6 +296,10 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         logger.log(step, {"epoch": epoch, "train_loss": train_loss,
                           "val_loss": val_loss}, force_print=True)
 
+        if ckpt is not None:
+            ckpt.save("latest", {"params": params, "opt_state": opt_state,
+                                 "step": step, "epoch": epoch,
+                                 "best_val": best_val})
         if val_loss < best_val:
             best_val = val_loss
             best_params = jax.tree.map(lambda x: x, params)

@@ -94,3 +94,33 @@ def reference_checkpoint_name(name: str, hidden_dim: int, latent_dim: int,
     """The reference's name-encoded hyperparameter scheme
     (``{name}_{hidden}_d{latent}_l{lr}_{epochs}``, train.py:94-110)."""
     return f"{name}_{hidden_dim}_d{latent_dim}_l{lr}_{epochs}"
+
+
+def parse_checkpoint_name(encoded: str) -> dict:
+    """Invert ``reference_checkpoint_name`` (the reference re-parses dims from
+    filenames at load time, compute_graph_embeddings.py:29)."""
+    import re
+
+    m = re.match(r"^(?P<name>.+)_(?P<hidden>\d+)_d(?P<latent>\d+)"
+                 r"_l(?P<lr>[\d.e-]+)_(?P<epochs>\d+)$", encoded)
+    if not m:
+        raise ValueError(f"not a reference-encoded checkpoint name: {encoded}")
+    return {"name": m.group("name"), "hidden_dim": int(m.group("hidden")),
+            "latent_dim": int(m.group("latent")), "lr": float(m.group("lr")),
+            "epochs": int(m.group("epochs"))}
+
+
+def save_model(manager: "CheckpointManager", state: dict, name: str,
+               hidden_dim: int, latent_dim: int, lr: float, epochs: int,
+               metadata: dict | None = None) -> str:
+    """Reference ``save_model`` equivalent (train.py:94-110): persist under
+    the name-encoded hyperparameter scheme."""
+    encoded = reference_checkpoint_name(name, hidden_dim, latent_dim, lr,
+                                        epochs)
+    return manager.save(encoded, state, metadata=metadata)
+
+
+def load_model(manager: "CheckpointManager", encoded_name: str):
+    """Reference ``load_model`` equivalent (train.py:56-91) minus its
+    hardcoded 2018 node counts: returns (state, parsed hyperparameters)."""
+    return manager.restore(encoded_name), parse_checkpoint_name(encoded_name)

@@ -127,3 +127,43 @@ def test_assert_all_finite():
     assert_all_finite({"a": np.ones(3)}, "ok")
     with pytest.raises(FloatingPointError, match="non-finite"):
         assert_all_finite({"a": np.array([1.0, np.nan])}, "bad")
+
+
+def test_checkpoint_name_roundtrip(tmp_path):
+    from patent_tpu.utils.checkpoint import (CheckpointManager, load_model,
+                                             parse_checkpoint_name,
+                                             reference_checkpoint_name,
+                                             save_model)
+
+    name = reference_checkpoint_name("GE", 256, 512, 0.002, 20)
+    assert name == "GE_256_d512_l0.002_20"
+    parsed = parse_checkpoint_name(name)
+    assert parsed == {"name": "GE", "hidden_dim": 256, "latent_dim": 512,
+                      "lr": 0.002, "epochs": 20}
+    mgr = CheckpointManager(str(tmp_path))
+    save_model(mgr, {"w": np.ones(3)}, "GE", 256, 512, 0.002, 20)
+    state, hp = load_model(mgr, name)
+    np.testing.assert_array_equal(state["w"], np.ones(3))
+    assert hp["latent_dim"] == 512
+    with pytest.raises(ValueError):
+        parse_checkpoint_name("not-encoded")
+
+
+def test_process_patent_graph_roundtrip(tmp_path):
+    import scipy.sparse as sp
+
+    from patent_tpu.data import build_hetero_graph, synthetic
+    from patent_tpu.data.graph_build import process_patent_graph
+
+    records = synthetic.synthetic_records(num_patents=4, figures_per_patent=2,
+                                          seed=0)
+    g = build_hetero_graph(records)
+    adj_p = str(tmp_path / "adj.npz")
+    g.save(adj_p)
+    feat = sp.csr_matrix(np.random.default_rng(0).random((g.num_nodes, 8)))
+    feat_p = str(tmp_path / "feat.npz")
+    sp.save_npz(feat_p, feat)
+    x, a_tilde = process_patent_graph(adj_p, feat_p)
+    assert x.shape == (g.num_nodes, 8)
+    assert a_tilde.shape == (g.num_nodes, g.num_nodes)
+    np.testing.assert_allclose(a_tilde, a_tilde.T, atol=1e-6)

@@ -174,3 +174,43 @@ def test_pca_whiten_shapes():
     assert w.shape == (40, 16)
     # whitened: unit variance per component
     np.testing.assert_allclose(w[:, :8].std(axis=0), 1.0, atol=0.2)
+
+
+def test_train_hyp_true_resume(prepared, tmp_path):
+    """Resume restores optimizer state + epoch and continues training."""
+    _, _, _, td = prepared
+    from patent_tpu.train.train_hyp import train_hyperbolic_retrieval
+
+    cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=2,
+                         batch_size=32, curvature=1.0, patience=10)
+    ckpt = CheckpointManager(str(tmp_path))
+    train_hyperbolic_retrieval(td, cfg, logger=quiet_logger(), ckpt=ckpt)
+    assert ckpt.exists("latest")
+    # resume with a larger epoch budget: continues from epoch 3
+    cfg2 = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=4,
+                          batch_size=32, curvature=1.0, patience=10)
+    _params, history = train_hyperbolic_retrieval(
+        td, cfg2, logger=quiet_logger(), ckpt=ckpt, resume=True)
+    assert len(history["train_loss"]) == 2  # epochs 3 and 4 only
+
+
+def test_early_stopping_class():
+    from patent_tpu.train.early_stopping import EarlyStopping
+
+    es = EarlyStopping(patience=2)
+    assert not es(1.0, {"w": 1})
+    assert not es(0.5, {"w": 2})    # improvement
+    assert not es(0.6, {"w": 3})    # counter 1
+    assert es(0.7, {"w": 4})        # counter 2 → stop
+    assert es.best_state == {"w": 2}
+
+
+def test_plot_graph_embeddings(tmp_path, rng):
+    from patent_tpu.train.plots import plot_graph_embeddings
+
+    z = rng.standard_normal((30, 8))
+    p = plot_graph_embeddings(z, figure_count=20, out_dir=str(tmp_path),
+                              highlight_patent_rows={"USD1": [0, 1]})
+    import os
+
+    assert os.path.exists(p)
