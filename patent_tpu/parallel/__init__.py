@@ -7,3 +7,8 @@ from .mesh import (  # noqa: F401
     make_mesh,
     shard_batch,
 )
+from .sharded_train import (  # noqa: F401
+    make_hyp_mesh,
+    make_sharded_train_step,
+    shard_hyp_state,
+)
