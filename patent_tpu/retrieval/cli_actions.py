@@ -43,16 +43,41 @@ def _build_encoder(args, image_size: int):
 
 
 def _corpus(args, image_size: int):
-    """(gallery_dir, query_dir, ground_truth_path) — real if present under
-    --path, else synthetic."""
+    """(gallery_dir, query_dir, ground_truth_path).  Resolution order:
+    1. prepared split dirs under --path (test_gallery/, test_query/,
+       ground_truth.json — the reference's on-disk layout, retrieval cell 3),
+    2. a real corpus (metadata.json + images/) under --path → split it with
+       the reference protocol (split_query.ipynb cells 2/5),
+    3. a generated synthetic corpus."""
     gallery = os.path.join(args.path, "test_gallery")
     query = os.path.join(args.path, "test_query")
     gt = os.path.join(args.path, "ground_truth.json")
     if os.path.isdir(gallery) and os.path.isdir(query) and os.path.exists(gt):
         return gallery, query, gt
 
-    from ..data import (build_ground_truth, save_ground_truth,
-                        split_query_gallery, synthetic)
+    from ..data import (build_ground_truth, records_from_metadata,
+                        save_ground_truth, split_query_gallery, synthetic)
+
+    meta_path = os.path.join(args.path, "metadata.json")
+    images_dir = os.path.join(args.path, "images")
+    if os.path.exists(meta_path) and os.path.isdir(images_dir):
+        with open(meta_path) as f:
+            records = records_from_metadata(json.load(f))
+        q_recs, g_recs = split_query_gallery(records, seed=42)
+        # symlink split dirs into the real images (no copies)
+        os.makedirs(gallery, exist_ok=True)
+        os.makedirs(query, exist_ok=True)
+        for recs, d in ((g_recs, gallery), (q_recs, query)):
+            for r in recs:
+                src = os.path.join(images_dir, r.figure_id)
+                dst = os.path.join(d, r.figure_id)
+                if os.path.exists(src) and not os.path.exists(dst):
+                    os.symlink(os.path.abspath(src), dst)
+        gt_data = build_ground_truth(q_recs, g_recs, max_month=None)
+        save_ground_truth(gt_data, gt)
+        print(f"[patent_tpu] split real corpus: {len(q_recs)} queries, "
+              f"{len(g_recs)} gallery → {args.path}")
+        return gallery, query, gt
 
     root = os.path.join(args.path, "synthetic_retrieval")
     print(f"[patent_tpu] no corpus under {args.path}; generating synthetic "

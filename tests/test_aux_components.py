@@ -134,3 +134,28 @@ def test_vgae_link_prediction_learns(graph_and_x):
         x, graph.adjacency, hidden_dim=24, latent_dim=12, epochs=40,
         learning_rate=5e-3, logger=MetricsLogger(print_every=0))
     assert test["roc_auc"] > 0.6, f"link prediction failed to learn: {test}"
+
+
+def test_hmi_training_learns(graph_and_x):
+    """HMI trains on generated inputs: loss decreases and positive labels
+    score above negative labels."""
+    graph, x = graph_and_x
+    from patent_tpu.data.hmi_inputs import generate_hmi_inputs
+    from patent_tpu.train.train_hmi import hmi_label_scores, train_hmi
+    from patent_tpu.utils.logging import MetricsLogger
+
+    h = generate_hmi_inputs(graph, neg_samples_per_figure=5, seed=0)
+    nf = graph.counts["figures"]
+    num_labels = graph.num_nodes - nf
+    feats = x[:nf]
+    params, history = train_hmi(feats, h, num_labels, embed_dim=8, epochs=15,
+                                batch_size=64, learning_rate=5e-3,
+                                logger=MetricsLogger(print_every=0))
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    scores = hmi_label_scores(params, feats, 8, num_labels)
+    assert scores.shape == (nf, num_labels)
+    # positive labels score higher than negatives on average
+    pos_scores = [scores[f, l - nf] for f, l in h.y_pos[:200]]
+    neg_scores = [scores[f, l - nf] for f, l in h.y_neg[:200]
+                  if 0 <= l - nf < num_labels]
+    assert np.mean(pos_scores) > np.mean(neg_scores)
