@@ -42,24 +42,28 @@ def _timed_throughput(fn, fetch, units_per_iter: int,
     return (n_large - n_small) * units_per_iter / dt
 
 
-def bench_embed(batch_size: int = 256) -> float:
+def bench_embed(batch_size: int = 128, scan_batches: int = 8) -> float:
+    """ViT-B/16 bf16 embed throughput via the engine's megabatch-scan path
+    (retrieval/engine.make_scan_encoder): k batches per device dispatch."""
     import jax
     import jax.numpy as jnp
 
     from patent_tpu.models.vit import VIT_B16, VisionTransformer
+    from patent_tpu.retrieval.engine import make_scan_encoder
 
     model = VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
     params = jax.jit(model.init)(jax.random.key(0),
                                  jnp.zeros((1, 224, 224, 3)))
-    apply_jit = jax.jit(model.apply)
-    batch = jnp.asarray(
+    encode_many = make_scan_encoder(model.apply, params)
+    batches = jnp.asarray(
         np.random.default_rng(0).standard_normal(
-            (batch_size, 224, 224, 3)).astype(np.float32))
+            (scan_batches, batch_size, 224, 224, 3)).astype(np.float32))
     sum_jit = jax.jit(jnp.sum)
-    float(sum_jit(apply_jit(params, batch)))          # compile + warm fetch
-    return _timed_throughput(lambda: apply_jit(params, batch),
+    float(sum_jit(encode_many(batches)))              # compile + warm fetch
+    return _timed_throughput(lambda: encode_many(batches),
                              lambda out: float(sum_jit(out)),
-                             batch_size)
+                             scan_batches * batch_size,
+                             n_small=2, n_large=8)
 
 
 def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,

@@ -22,6 +22,21 @@ from ..metrics import RetrievalMetrics, evaluate_rankings
 from .index import EmbeddingIndex, Similarity
 
 
+def make_scan_encoder(apply_fn, params):
+    """Build a [k, B, ...] → [k, B, D] megabatch encoder: jitted lax.scan
+    over ``apply_fn`` with params passed as a jit ARGUMENT (never a closure
+    constant — closed-over weights bloat the HLO past remote-compile limits).
+    """
+    @jax.jit
+    def scan_encode(params, batches):
+        def body(_, b):
+            return None, apply_fn(params, b)
+        _, outs = jax.lax.scan(body, None, batches)
+        return outs
+
+    return lambda batches: scan_encode(params, batches)
+
+
 class RetrievalEngine:
     """Encode → index → retrieve → evaluate.
 
@@ -36,7 +51,12 @@ class RetrievalEngine:
                  batch_size: int = 128, num_workers: int = 8,
                  image_size: int = 224,
                  similarity: Similarity = "cosine", c: float = 1.0,
-                 mesh=None):
+                 mesh=None, scan_batches: int = 1,
+                 encode_many_fn: Callable[[jax.Array], jax.Array] | None = None):
+        """``encode_many_fn``: optional [k, B, H, W, 3] → [k, B, D] megabatch
+        encoder (e.g. a jitted lax.scan over the model apply with params as
+        arguments — see make_scan_encoder).  Amortizes per-dispatch overhead
+        on high-latency device links; used when ``scan_batches > 1``."""
         self.encode_fn = encode_fn
         self.batch_size = batch_size
         self.image_size = image_size
@@ -44,6 +64,11 @@ class RetrievalEngine:
         self.similarity: Similarity = similarity
         self.c = c
         self.mesh = mesh
+        self.scan_batches = max(1, scan_batches)
+        self._scan_encode = encode_many_fn
+        if self.scan_batches > 1 and encode_many_fn is None:
+            raise ValueError("scan_batches > 1 requires encode_many_fn "
+                             "(build one with make_scan_encoder)")
         self.index: EmbeddingIndex | None = None
 
     # ------------------------------------------------------------- encoding
@@ -54,12 +79,32 @@ class RetrievalEngine:
                                image_size=self.image_size,
                                num_workers=self.num_workers)
         embs, names = [], []
+        pending: list[tuple[np.ndarray, list[str], int]] = []
+
+        def flush():
+            if not pending:
+                return
+            if self.scan_batches > 1 and len(pending) > 1:
+                k = len(pending)
+                stacked = jnp.asarray(np.stack([b for b, _, _ in pending]))
+                outs = np.asarray(self._scan_encode(stacked))
+                for i, (_b, paths, n_valid) in enumerate(pending):
+                    embs.append(outs[i, :n_valid])
+                    names.extend(paths)
+            else:
+                for batch, paths, n_valid in pending:
+                    out = np.asarray(self.encode_fn(jnp.asarray(batch)))
+                    embs.append(out[:n_valid])
+                    names.extend(paths)
+            pending.clear()
+
         for batch, paths, n_valid in batcher:
             if n_valid == 0:
                 continue
-            out = np.asarray(self.encode_fn(jnp.asarray(batch)))
-            embs.append(out[:n_valid])
-            names.extend(paths)
+            pending.append((batch, paths, n_valid))
+            if len(pending) >= self.scan_batches:
+                flush()
+        flush()
         if not embs:
             return np.zeros((0, 0), np.float32), []
         return np.concatenate(embs, axis=0), names
