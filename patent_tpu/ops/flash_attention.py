@@ -7,6 +7,13 @@ matrix living only in VMEM — the XLA path materializes it to HBM twice per
 layer (bf16 scores + f32 softmax), which measures as ~20% of ViT-B/16
 forward time at batch 256.
 
+MEASURED STATUS (v5e-1): numerically exact vs the XLA path (max diff 0.0 in
+bf16) but ~22% SLOWER end-to-end at ViT-B/16 scale — the per-(batch, head)
+grid launches 3072 tiny programs and the 64→128 head-dim padding doubles the
+matmul work, which outweighs the saved softmax HBM traffic.  Kept as an
+opt-in (``VisionTransformer(use_flash=True)``) and as the substrate for a
+future head-batched, unpadded variant; the XLA path stays the default.
+
 Layout contract: q, k, v arrive as [BH, S, D] with S padded to a multiple of
 8 and D padded to 128 (zero padding is exact for the matmuls; key padding is
 masked to −∞ before the softmax).  ``flash_attention`` handles the
