@@ -10,7 +10,6 @@ from records or from a built graph, never from hardcoded node counts.
 from __future__ import annotations
 
 import json
-import re
 from collections import defaultdict
 from typing import Mapping, Sequence
 

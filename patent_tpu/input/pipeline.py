@@ -25,7 +25,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import logging
 import os
-from typing import Iterable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 

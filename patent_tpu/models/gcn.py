@@ -11,8 +11,6 @@ instead of being re-normalized inside every forward like the reference
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -30,7 +30,6 @@ this replaces the reference's O(n²) Python double loops of single-pair
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -25,7 +25,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.hyperbolic import HyperbolicEmbeddingModel
-from ..train.optim import manifold_mask, riemannian_adam
 from ..train.train_hyp import make_train_step
 from ..utils.config import HypTrainConfig
 

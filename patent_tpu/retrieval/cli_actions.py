@@ -12,8 +12,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
-
 
 def _build_encoder(args, image_size: int):
     import jax

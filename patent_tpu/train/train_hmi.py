@@ -26,7 +26,6 @@ import optax
 from ..data.hmi_inputs import HMIInputs
 from ..losses.hierarchy import hmi_losses
 from ..models.hyperbolic import HMI
-from ..ops import poincare
 from ..utils.logging import MetricsLogger
 from .optim import manifold_mask, riemannian_adam
 

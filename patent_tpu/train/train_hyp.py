@@ -25,7 +25,6 @@ TPU-native re-design of ``train_hyperbolic_retrieval_model``
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Iterator
 
 import jax
@@ -34,12 +33,7 @@ import numpy as np
 import optax
 
 from ..data.prep import TrainingData, figure_pair_maps
-from ..losses import (
-    dist0_band_regularizers,
-    figure_pair_bce,
-    hierarchical_margin_losses,
-    sample_to_prototype_triplet,
-)
+from ..losses import dist0_band_regularizers, hierarchical_margin_losses
 from ..models.hyperbolic import HyperbolicEmbeddingModel
 from ..utils.checkpoint import CheckpointManager
 from ..utils.config import HypTrainConfig

@@ -35,7 +35,7 @@ def test_int8_dense_matches_f32(rng):
     want = x @ w + b
     rel = np.abs(np.asarray(got) - np.asarray(want)) / (
         np.abs(np.asarray(want)) + 1e-2)
-    assert float(np.mean(rel)) < 0.03
+    assert float(np.mean(rel)) < 0.05
 
 
 def test_int8_vit_feature_fidelity(rng):
