@@ -2,3 +2,4 @@
 
 from .index import EmbeddingIndex, sharded_topk_search, topk_search  # noqa: F401
 from .engine import RetrievalEngine  # noqa: F401
+from .hyperbolic_engine import HyperbolicRetrievalEngine  # noqa: F401
