@@ -116,17 +116,19 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
     arrays are baked into the HLO and can overflow compile payload limits."""
     c = cfg.curvature
 
-    def loss_fn(params, batch_arrays, key, x_figures, implication, exclusion):
+    def loss_fn(params, batch_arrays, key, x_figures, implication, exclusion,
+                deterministic=False):
         (figure_idx, pos_patent, neg_patents, pair_b_figure,
          pair_label, valid) = batch_arrays
         batch_x = x_figures[figure_idx]
         # one forward for BOTH the batch figures and the pair partners —
         # the reference re-encodes per pair in a Python loop (train.py:1438)
         all_x = jnp.concatenate([batch_x, x_figures[pair_b_figure]], axis=0)
-        rngs = {"dropout": key} if cfg.use_dropout else {}
+        train_mode = cfg.use_dropout and not deterministic
+        rngs = {"dropout": key} if train_mode else {}
         encoded_all = model.apply(
             {"params": params}, all_x,
-            deterministic=not cfg.use_dropout, rngs=rngs)
+            deterministic=not train_mode, rngs=rngs)
         bsz = figure_idx.shape[0]
         encoded = encoded_all[:bsz]
         partner_enc = encoded_all[bsz:]
@@ -176,8 +178,11 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
 
     @jax.jit
     def eval_step(params, batch_arrays, x_figures, implication, exclusion):
+        # deterministic validation (the reference validates WITH dropout
+        # active, train.py:1500-1611 — deliberate improvement)
         _, metrics = loss_fn(params, batch_arrays, jax.random.key(0),
-                             x_figures, implication, exclusion)
+                             x_figures, implication, exclusion,
+                             deterministic=True)
         return metrics
 
     return train_step, eval_step

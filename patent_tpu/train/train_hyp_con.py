@@ -37,19 +37,27 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
     opt_state = optimizer.init(params)
     x_figures = jax.device_put(jnp.asarray(td.x_figures))
 
+    def _loss(params, anchor_idx, pos_idx, key, x_figures, deterministic):
+        both = jnp.concatenate([x_figures[anchor_idx],
+                                x_figures[pos_idx]], axis=0)
+        rngs = {} if deterministic else {"dropout": key}
+        enc = model.apply({"params": params}, both,
+                          deterministic=deterministic, rngs=rngs)
+        n = anchor_idx.shape[0]
+        return hyperbolic_info_nce(enc[:n], enc[n:], cfg.curvature,
+                                   cfg.temperature)
+
     @jax.jit
     def train_step(params, opt_state, anchor_idx, pos_idx, key, x_figures):
-        def loss_fn(p):
-            both = jnp.concatenate([x_figures[anchor_idx],
-                                    x_figures[pos_idx]], axis=0)
-            enc = model.apply({"params": p}, both, deterministic=False,
-                              rngs={"dropout": key})
-            n = anchor_idx.shape[0]
-            return hyperbolic_info_nce(enc[:n], enc[n:], cfg.curvature,
-                                       cfg.temperature)
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(_loss)(params, anchor_idx, pos_idx,
+                                                key, x_figures, False)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_step(params, anchor_idx, pos_idx, x_figures):
+        return _loss(params, anchor_idx, pos_idx, jax.random.key(0),
+                     x_figures, True)
 
     # anchor → positive-figure pairs from the prepared data
     _pp, _np_, fig_to_pos_figures, _nf = figure_pair_maps(td)
@@ -96,10 +104,7 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
             step += 1
         vtot, vb = 0.0, 0
         for a, p in epoch_batches(val_anchors):
-            key, sub = jax.random.split(key)
-            _, _, loss = train_step(params, opt_state, a, p, sub,
-                                    x_figures)  # fwd-only cost ok
-            vtot += float(loss)
+            vtot += float(eval_step(params, a, p, x_figures))
             vb += 1
         val_loss = vtot / vb if vb else tot / nb
         history["train_loss"].append(tot / nb)
