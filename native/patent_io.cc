@@ -304,6 +304,74 @@ void resize_normalize(const uint8_t* rgb, int sh, int sw, int size,
   }
 }
 
+// uint8 variant: resize only, defer normalization to the device (4× less
+// host→device transfer for the encode pipeline).
+void resize_u8(const uint8_t* rgb, int sh, int sw, int size, uint8_t* out) {
+  const FilterTaps tx = triangle_taps(sw, size);
+  const FilterTaps ty = triangle_taps(sh, size);
+  std::vector<float> tmp(size_t(sh) * size * 3);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = rgb + size_t(y) * sw * 3;
+    float* trow = tmp.data() + size_t(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
+      const float* w = tx.weights.data() + size_t(x) * tx.max_taps;
+      const int lo = tx.xmin[x];
+      const int cnt = tx.count[x];
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int k = 0; k < cnt; ++k) {
+        const uint8_t* p = row + size_t(lo + k) * 3;
+        a0 += w[k] * p[0];
+        a1 += w[k] * p[1];
+        a2 += w[k] * p[2];
+      }
+      trow[x * 3] = a0;
+      trow[x * 3 + 1] = a1;
+      trow[x * 3 + 2] = a2;
+    }
+  }
+  for (int y = 0; y < size; ++y) {
+    const float* w = ty.weights.data() + size_t(y) * ty.max_taps;
+    const int lo = ty.xmin[y];
+    const int cnt = ty.count[y];
+    uint8_t* orow = out + size_t(y) * size * 3;
+    for (int x = 0; x < size; ++x) {
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int k = 0; k < cnt; ++k) {
+        const float* p = tmp.data() + (size_t(lo + k) * size + x) * 3;
+        a0 += w[k] * p[0];
+        a1 += w[k] * p[1];
+        a2 += w[k] * p[2];
+      }
+      auto clamp = [](float v) {
+        return uint8_t(v < 0 ? 0 : (v > 255 ? 255 : v + 0.5f));
+      };
+      orow[x * 3] = clamp(a0);
+      orow[x * 3 + 1] = clamp(a1);
+      orow[x * 3 + 2] = clamp(a2);
+    }
+  }
+}
+
+int decode_file_u8(const char* path, int image_size, uint8_t* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return -10;
+  std::fseek(f, 0, SEEK_END);
+  const long flen = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  if (flen <= 0) { std::fclose(f); return -10; }
+  std::vector<uint8_t> buf(static_cast<size_t>(flen), 0);
+  const size_t got = std::fread(buf.data(), 1, size_t(flen), f);
+  std::fclose(f);
+  if (got != size_t(flen)) return -10;
+  Image img;
+  const int rc = decode_png(buf.data(), buf.size(), &img);
+  if (rc != 0) return rc;
+  std::vector<uint8_t> rgb;
+  to_rgb(img, &rgb);
+  resize_u8(rgb.data(), img.height, img.width, image_size, out);
+  return 0;
+}
+
 int decode_file(const char* path, int image_size, const float* mean,
                 const float* inv_std, float* out) {
   FILE* f = std::fopen(path, "rb");
@@ -382,6 +450,29 @@ void patent_io_decode_batch(const char* const* paths, int n, int image_size,
                             float* out, int32_t* status, int num_threads) {
   BatchJob job{paths, n, image_size, mean, inv_std, out, status};
   decode_batch_threaded(job, num_threads);
+}
+
+// uint8 batch decode: resize only, normalization deferred to the device.
+void patent_io_decode_batch_u8(const char* const* paths, int n,
+                               int image_size, uint8_t* out, int32_t* status,
+                               int num_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    const size_t img_elems = size_t(image_size) * image_size * 3;
+    while (true) {
+      const int i = next.fetch_add(1);
+      if (i >= n) break;
+      status[i] = decode_file_u8(paths[i], image_size, out + img_elems * i);
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
 }
 
 // Raw PNG probe (width/height/channels) without full decode; 0 on success.

@@ -126,3 +126,34 @@ def decode_batch_native(paths: list[str], image_size: int = 224,
                                    ctypes.POINTER(ctypes.c_int32)),
                                num_threads)
     return out, status == 0
+
+
+def decode_batch_native_u8(paths: list[str], image_size: int = 224,
+                           num_threads: int = 4
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Threaded batch decode → ([n, S, S, 3] uint8 RGB, [n] ok mask).
+
+    Normalization is deferred to the device (see
+    retrieval.engine.device_normalize): uint8 transfer is 4× smaller than
+    the float32 path — the host→device link is the encode pipeline's
+    bottleneck at production batch sizes.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not hasattr(lib, "patent_io_decode_batch_u8"):
+        raise RuntimeError("native library too old; rebuild native/build.sh")
+    lib.patent_io_decode_batch_u8.restype = None
+    lib.patent_io_decode_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int]
+    n = len(paths)
+    out = np.zeros((n, image_size, image_size, 3), np.uint8)
+    status = np.empty(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.patent_io_decode_batch_u8(
+        arr, n, image_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), num_threads)
+    return out, status == 0

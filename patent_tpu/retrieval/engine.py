@@ -22,6 +22,23 @@ from ..metrics import RetrievalMetrics, evaluate_rankings
 from .index import EmbeddingIndex, Similarity
 
 
+def make_device_normalizing_encoder(apply_fn, params):
+    """Encoder accepting uint8 RGB batches: (x/255 − mean)/std happens ON
+    DEVICE inside the jit — pairs with input.native.decode_batch_native_u8
+    for 4× less host→device transfer (params are jit ARGUMENTS)."""
+    from ..input.pipeline import CLIP_MEAN, CLIP_STD
+
+    mean = jnp.asarray(CLIP_MEAN)
+    inv_std = jnp.asarray(1.0 / CLIP_STD)
+
+    @jax.jit
+    def encode_u8(params, batch_u8):
+        x = (batch_u8.astype(jnp.float32) / 255.0 - mean) * inv_std
+        return apply_fn(params, x)
+
+    return lambda batch_u8: encode_u8(params, batch_u8)
+
+
 def make_scan_encoder(apply_fn, params):
     """Build a [k, B, ...] → [k, B, D] megabatch encoder: jitted lax.scan
     over ``apply_fn`` with params passed as a jit ARGUMENT (never a closure

@@ -172,6 +172,8 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
                    x_figures, implication, exclusion):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_arrays, key, x_figures, implication, exclusion)
+        # gradient-norm observability (the reference only has wandb.watch)
+        metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

@@ -65,3 +65,14 @@ def test_dryrun_multichip(eight_devices):
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_retrieve_action(tmp_path, capsys):
+    rc = run_cli(["retrieve", "--path", str(tmp_path), "--synthetic",
+                  "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # prints k scored lines "score  name.png"
+    scored = [l for l in out.splitlines() if l.strip().endswith(".png")
+              and l.strip()[0].isdigit() or l.strip().startswith("0.")]
+    assert len([l for l in out.splitlines() if ".png" in l]) >= 3

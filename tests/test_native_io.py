@@ -93,3 +93,28 @@ def test_exact_pixels_at_native_resolution(pngs):
     nat = decode_image_native(p, 32)
     want = (exact.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
     np.testing.assert_allclose(nat, want, atol=1e-5)
+
+
+def test_u8_path_matches_f32_through_model(pngs):
+    """decode u8 → device normalize → model == decode f32 → model."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.input.native import decode_batch_native, decode_batch_native_u8
+    from patent_tpu.models.vit import VIT_TINY, VisionTransformer
+    from patent_tpu.retrieval.engine import make_device_normalizing_encoder
+
+    paths = [pngs["rgb"][0], pngs["gray"][0]]
+    f32, ok1 = decode_batch_native(paths, 32)
+    u8, ok2 = decode_batch_native_u8(paths, 32)
+    assert ok1.all() and ok2.all()
+
+    model = VisionTransformer(VIT_TINY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    apply_jit = jax.jit(model.apply)
+    y_f32 = apply_jit(params, jnp.asarray(f32))
+    enc_u8 = make_device_normalizing_encoder(model.apply, params)
+    y_u8 = enc_u8(jnp.asarray(u8))
+    # uint8 rounding costs ≤ half an LSB of [0,1] pixel range
+    np.testing.assert_allclose(np.asarray(y_u8), np.asarray(y_f32),
+                               atol=5e-2, rtol=5e-2)
