@@ -201,3 +201,20 @@ class EmbeddingIndex:
         with open(f"{prefix}.json") as f:
             names = json.load(f)
         return cls(emb, names, **kwargs)
+
+    def to_feature_dict(self, basename_keys: bool = True) -> dict:
+        """{figure name: vector} dict — the reference's per-figure embedding
+        pickle schema (graph gen cell 17 ``query_images_embeddings_*.pkl``,
+        compute_graph_embeddings.py:53), consumed by the feature-matrix
+        builder and the CLIP-alignment stage."""
+        import os
+
+        emb = np.asarray(self.embeddings)
+        keyfn = os.path.basename if basename_keys else (lambda s: s)
+        return {keyfn(n): emb[i] for i, n in enumerate(self.names)}
+
+    def save_feature_pickle(self, path: str, basename_keys: bool = True) -> None:
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self.to_feature_dict(basename_keys), f)

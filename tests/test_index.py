@@ -105,3 +105,19 @@ def test_index_name_mismatch_raises(data):
     _, gallery = data
     with pytest.raises(ValueError):
         EmbeddingIndex(gallery, ["just_one.png"])
+
+
+def test_feature_dict_export(tmp_path, data):
+    import pickle
+
+    queries, gallery = data
+    names = [f"/abs/path/img_{i:03d}.png" for i in range(len(gallery))]
+    index = EmbeddingIndex(gallery, names)
+    d = index.to_feature_dict()
+    assert set(d) == {f"img_{i:03d}.png" for i in range(len(gallery))}
+    np.testing.assert_array_equal(d["img_000.png"], gallery[0])
+    p = str(tmp_path / "feats.pkl")
+    index.save_feature_pickle(p)
+    with open(p, "rb") as f:
+        loaded = pickle.load(f)
+    np.testing.assert_array_equal(loaded["img_001.png"], gallery[1])

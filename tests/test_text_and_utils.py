@@ -167,3 +167,17 @@ def test_process_patent_graph_roundtrip(tmp_path):
     assert x.shape == (g.num_nodes, 8)
     assert a_tilde.shape == (g.num_nodes, g.num_nodes)
     np.testing.assert_allclose(a_tilde, a_tilde.T, atol=1e-6)
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from patent_tpu.utils.profiling import profile_trace
+
+    with profile_trace(str(tmp_path)):
+        _ = jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    import os
+
+    # a trace directory with at least one file appears
+    found = [f for _r, _d, fs in os.walk(tmp_path) for f in fs]
+    assert found, "no trace files written"
