@@ -92,6 +92,62 @@ def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,
                              n_queries, n_small=2, n_large=8)
 
 
+def bench_hyp_train(batch_size: int = 256, label_num: int = 16384,
+                    feature_dim: int = 512, embed_dim: int = 128) -> float:
+    """train_hyp full-step throughput (steps/sec) at reference-scale shapes
+    (LABEL_NUM ≈ 14k for the 2018 corpus, train.py:3878)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.models.hyperbolic import HyperbolicEmbeddingModel
+    from patent_tpu.train.optim import manifold_mask, riemannian_adam
+    from patent_tpu.train.train_hyp import make_train_step
+    from patent_tpu.utils.config import HypTrainConfig
+
+    rng = np.random.default_rng(0)
+    cfg = HypTrainConfig(embed_dim=embed_dim, hidden_dims=(256,),
+                         curvature=2.0, batch_size=batch_size,
+                         num_neg_samples=1)
+    model = HyperbolicEmbeddingModel(
+        feature_dim=feature_dim, embed_dim=embed_dim, label_num=label_num,
+        hidden_dims=(256,), c=2.0)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, feature_dim)))["params"]
+    optimizer = riemannian_adam(cfg.learning_rate, c=2.0,
+                                mask=manifold_mask(params))
+    opt_state = optimizer.init(params)
+    step, _ = make_train_step(model, optimizer, cfg)
+
+    n_figures = 30_000
+    x_figures = jnp.asarray(rng.standard_normal(
+        (n_figures, feature_dim)).astype(np.float32))
+    implication = jnp.asarray(rng.integers(0, label_num, (15_000, 2)),
+                              jnp.int32)
+    exclusion = jnp.zeros((0, 2), jnp.int32)
+    batch = (jnp.asarray(rng.integers(0, n_figures, batch_size), jnp.int32),
+             jnp.asarray(rng.integers(0, label_num, batch_size), jnp.int32),
+             jnp.asarray(rng.integers(0, label_num, (batch_size, 1)), jnp.int32),
+             jnp.asarray(rng.integers(0, n_figures, batch_size), jnp.int32),
+             jnp.asarray(rng.random(batch_size) < 0.5, jnp.float32),
+             jnp.ones(batch_size, jnp.float32))
+    key = jax.random.key(0)
+
+    state = {"p": params, "o": opt_state}
+
+    def one():
+        state["p"], state["o"], metrics = step(
+            state["p"], state["o"], batch, key, x_figures, implication,
+            exclusion)
+        return metrics["total_loss"]
+
+    import jax.numpy as jnp2
+
+    sum_jit = jax.jit(jnp2.sum)
+    float(sum_jit(one()))
+    return _timed_throughput(one, lambda v: float(sum_jit(v)), 1,
+                             n_small=5, n_large=25)
+
+
 def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
                         n_queries: int = 64, k: int = 10) -> float:
     import jax.numpy as jnp
@@ -151,6 +207,7 @@ def main() -> None:
     topk_qps = bench_topk(similarity="cosine")
     poincare_qps = bench_topk(n_gallery=200_000, similarity="poincare")
     parity = bench_recall_parity()
+    hyp_sps = bench_hyp_train()
 
     target = 10_000.0  # BASELINE.json: ≥10k images/sec/chip
     result = {
@@ -162,6 +219,7 @@ def main() -> None:
             "topk_qps_1M_cosine": round(topk_qps, 1),
             "topk_qps_200k_poincare": round(poincare_qps, 1),
             "recall10_parity_vs_bruteforce": parity,
+            "hyp_train_steps_per_sec_b256_16k_labels": round(hyp_sps, 2),
         },
     }
     print(json.dumps(result))
