@@ -257,13 +257,18 @@ def finetune_param_labels(params: dict, num_trainable_blocks: int = 9,
     """optax.multi_transform labels: 'train' for the last N vision blocks +
     post_ln + projection, 'frozen' otherwise (reference unfreezes the last 9
     vision layers: retrieval.ipynb cell 20, train.py:2459-2464)."""
+    import re
+
     first_trainable = num_layers - num_trainable_blocks
 
     def label(path, _leaf):
         keystr = jax.tree_util.keystr(path)
-        for i in range(num_layers):
-            if f"block_{i}" in keystr.replace("'", ""):
-                return "train" if i >= first_trainable else "frozen"
+        # exact block index (substring matching would classify block_11 by
+        # block_1's policy)
+        m = re.search(r"block_(\d+)", keystr)
+        if m:
+            return ("train" if int(m.group(1)) >= first_trainable
+                    else "frozen")
         if "post_ln" in keystr or "projection" in keystr:
             return "train"
         return "frozen"

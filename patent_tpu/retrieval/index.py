@@ -27,7 +27,7 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import poincare
 
@@ -151,14 +151,10 @@ class EmbeddingIndex:
         self.c = c
         self.mesh = mesh
         self.axis = axis
-        emb = jnp.asarray(embeddings)
-        if mesh is not None:
-            sharding = NamedSharding(mesh, P(axis))
-            n_shards = mesh.shape[axis]
-            per_shard = -(-emb.shape[0] // n_shards)
-            emb_padded = jnp.pad(emb, ((0, per_shard * n_shards - emb.shape[0]), (0, 0)))
-            self._emb_padded = jax.device_put(emb_padded, sharding)
-        self.embeddings = emb
+        # sharded searches pad + distribute the gallery inside shard_map
+        # (sharded_topk_search); keeping one canonical array here avoids a
+        # duplicate padded copy in HBM
+        self.embeddings = jnp.asarray(embeddings)
 
     def __len__(self) -> int:
         return len(self.names)

@@ -121,3 +121,14 @@ def test_feature_dict_export(tmp_path, data):
     with open(p, "rb") as f:
         loaded = pickle.load(f)
     np.testing.assert_array_equal(loaded["img_001.png"], gallery[1])
+
+
+def test_index_with_mesh(eight_devices, data):
+    """EmbeddingIndex(mesh=...) routes through the sharded search path."""
+    queries, gallery = data
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    names = [f"img_{i:04d}.png" for i in range(len(gallery))]
+    index = EmbeddingIndex(gallery, names, mesh=mesh)
+    vals, idx = index.search(queries, k=5)
+    bv, bi = brute_force_cosine(queries, gallery, 5)
+    np.testing.assert_array_equal(idx, bi)

@@ -168,3 +168,24 @@ def test_engine_end_to_end_same_patent_retrieval(image_dir, tmp_path):
     res = engine2.retrieve_similar_images(queries[0], k=3)
     assert len(res) == 3
     assert os.path.basename(res[0][0]).startswith("USD0700000")
+
+
+def test_finetune_labels_no_substring_confusion():
+    """block_11 must follow its own index, not block_1's (regression)."""
+    from patent_tpu.models.vit import VIT_B16, VisionTransformer
+
+    model = VisionTransformer(VIT_B16)
+    # build a minimal fake param tree with the real block names
+    params = {f"block_{i}": {"attn": {"qkv": {"kernel": np.zeros(1)}}}
+              for i in range(12)}
+    params["patch_embed"] = {"kernel": np.zeros(1)}
+    params["projection"] = {"kernel": np.zeros(1)}
+    labels = finetune_param_labels(params, num_trainable_blocks=9,
+                                   num_layers=12)
+    # last 9 blocks (3..11) train; first 3 frozen
+    for i in range(12):
+        want = "train" if i >= 3 else "frozen"
+        assert labels[f"block_{i}"]["attn"]["qkv"]["kernel"] == want, \
+            f"block_{i} misclassified"
+    assert labels["projection"]["kernel"] == "train"
+    assert labels["patch_embed"]["kernel"] == "frozen"
