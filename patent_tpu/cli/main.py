@@ -32,7 +32,8 @@ import numpy as np
 
 ACTIONS = ["train", "train_gcn", "train_hyp", "train_hyp_con", "train_end",
            "train_end_2", "train_class", "plot", "train_class_pro", "test",
-           "infer", "dist", "prep", "encode", "retrieve", "eval", "bench"]
+           "infer", "dist", "prep", "encode", "retrieve", "eval", "bench",
+           "finetune"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -251,6 +252,76 @@ def main(argv: list[str] | None = None) -> int:
         from ..retrieval.cli_actions import run_retrieval_action
 
         return run_retrieval_action(action, args)
+
+    if action == "finetune":
+        # CLIP fine-tune with graph alignment (retrieval.ipynb cell 20):
+        # uses graph embeddings exported by train_class_pro when present
+        import pickle
+
+        from ..data import figure_to_pos_figures, synthetic
+        from ..models.vit import VisionConfig
+        from ..train.finetune_clip import run_finetune
+        from ..utils.config import ClipFinetuneConfig
+
+        cfg = ClipFinetuneConfig()
+        if args.epochs:
+            cfg.epochs = args.epochs
+        apply_overrides(cfg, args.overrides)
+
+        corpus_root = os.path.join(args.path, "synthetic_corpus")
+        meta_path = os.path.join(args.path, "metadata.json")
+        if os.path.exists(meta_path) and os.path.isdir(
+                os.path.join(args.path, "images")):
+            from ..data import records_from_metadata
+
+            with open(meta_path) as f:
+                records = records_from_metadata(json.load(f))
+            images_dir = os.path.join(args.path, "images")
+        else:
+            print(f"[patent_tpu] no corpus under {args.path}; using synthetic")
+            records, images_dir = synthetic.write_synthetic_corpus(
+                corpus_root, num_patents=16, figures_per_patent=3,
+                image_size=64)
+        pos_map = figure_to_pos_figures(records)
+        anchors, positives = [], []
+        for name, partners in sorted(pos_map.items()):
+            anchors.append(os.path.join(images_dir, name))
+            positives.append(os.path.join(images_dir, partners[0]))
+
+        ge_dir = os.path.join(args.path, "graph_embeddings")
+        node_idx = np.arange(len(anchors)) % max(len(anchors), 1)
+        vgae = None
+        if os.path.isdir(ge_dir):
+            pkls = sorted(os.listdir(ge_dir))
+            if pkls:
+                with open(os.path.join(ge_dir, pkls[0]), "rb") as f:
+                    ge = pickle.load(f)
+                keys = {os.path.basename(a): i
+                        for i, a in enumerate(sorted(ge))}
+                vgae = np.stack([ge[k] for k in sorted(ge)])
+                node_idx = np.asarray(
+                    [keys.get(os.path.basename(a), 0) for a in anchors],
+                    np.int32)
+                print(f"[patent_tpu] aligned to {len(ge)} exported graph "
+                      f"embeddings from {ge_dir}")
+        if vgae is None:
+            vgae = np.random.default_rng(0).standard_normal(
+                (max(len(anchors), 2), 128)).astype(np.float32)
+
+        # synthetic corpora are small images; shrink the tower accordingly
+        image_size = 64 if "synthetic" in images_dir else cfg.image_size
+        if image_size == 224:
+            from ..models.vit import VIT_B16 as vc
+        else:
+            vc = VisionConfig(image_size=image_size, patch_size=8,
+                              hidden_dim=64, num_layers=2, num_heads=4,
+                              mlp_dim=128, projection_dim=64)
+        ckpt = CheckpointManager(os.path.join(args.path, "models"))
+        _best, history = run_finetune(anchors, positives, node_idx, vgae, vc,
+                                      cfg, logger=logger, ckpt=ckpt,
+                                      image_size=image_size)
+        print(f"finetune done: val_loss trajectory {history['val_loss']}")
+        return 0
 
     if action == "bench":
         os.execvp(sys.executable,

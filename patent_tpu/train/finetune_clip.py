@@ -167,3 +167,125 @@ def alpha_schedule(epoch: int, cfg: ClipFinetuneConfig) -> float:
     if epoch < cfg.warmup_epochs:
         return cfg.alpha_max * (epoch + 1) / cfg.warmup_epochs
     return cfg.alpha_max
+
+
+def run_finetune(anchor_paths, positive_paths, graph_node_idx,
+                 vgae_matrix, vision_config: VisionConfig,
+                 cfg: ClipFinetuneConfig,
+                 val_fraction: float = 0.1,
+                 clip_params=None, logger=None, ckpt=None,
+                 image_size: int | None = None) -> tuple[dict, dict]:
+    """Full fine-tuning loop (retrieval.ipynb cell 20 ``fine_tune_clip``):
+
+    * anchors ∥ positives decoded through the input pipeline,
+    * patent-aware train/val split is the CALLER's job (pass disjoint lists
+      built with data.split_query_gallery — the reference asserts zero
+      patent overlap, train.py:4236); here the last ``val_fraction`` of
+      pairs is held out,
+    * α warm-up per epoch; validation every ``cfg.val_every`` batches and at
+      epoch end; best-val checkpoint via ``ckpt`` (reference saves
+      ``<name>_best`` via save_pretrained).
+
+    Args:
+        anchor_paths / positive_paths: same-length image path lists (pairs).
+        graph_node_idx: [len(anchor_paths)] graph-node row per anchor
+            (the reference maps anchor path → VGAE row via a path-keyed
+            dict, cell 20 ``graph_id_map``).
+    Returns (best_params, history).
+    """
+    import numpy as np
+
+    from ..input.pipeline import decode_image
+    from ..utils.logging import MetricsLogger
+
+    logger = logger or MetricsLogger(print_every=10)
+    image_size = image_size or cfg.image_size
+    rng = np.random.default_rng(cfg.seed)
+    n = len(anchor_paths)
+    assert len(positive_paths) == n and len(graph_node_idx) == n
+    n_val = max(1, int(n * val_fraction))
+    order = rng.permutation(n)
+    val_ids = order[:n_val]
+    train_ids = order[n_val:]
+
+    (vit, head), params, optimizer, opt_state = init_finetune_state(
+        vision_config, cfg, vgae_matrix, clip_params=clip_params,
+        seed=cfg.seed)
+    step, eval_step = make_finetune_step(vit, head, optimizer, cfg)
+
+    def load_batch(ids):
+        imgs, nodes = [], []
+        for i in ids:
+            a = decode_image(anchor_paths[int(i)], image_size)
+            p = decode_image(positive_paths[int(i)], image_size)
+            if a is None or p is None:
+                continue
+            imgs.append((a, p))
+            nodes.append(graph_node_idx[int(i)])
+        if not imgs:
+            return None
+        anchors = np.stack([a for a, _ in imgs])
+        positives = np.stack([p for _, p in imgs])
+        return (jnp.asarray(np.concatenate([anchors, positives])),
+                jnp.asarray(np.asarray(nodes, np.int32)))
+
+    def validate(params, alpha):
+        tot, nb = 0.0, 0
+        for s in range(0, len(val_ids) - cfg.batch_size + 1, cfg.batch_size):
+            batch = load_batch(val_ids[s:s + cfg.batch_size])
+            if batch is None:
+                continue
+            m = eval_step(params, batch[0], batch[1], alpha)
+            tot += float(m["loss"])
+            nb += 1
+        if nb == 0:
+            batch = load_batch(val_ids[:min(len(val_ids), cfg.batch_size)])
+            if batch is not None:
+                m = eval_step(params, batch[0], batch[1], alpha)
+                return float(m["loss"])
+            return float("inf")
+        return tot / nb
+
+    best_val = float("inf")
+    best_params = params
+    history: dict[str, list] = {"train_loss": [], "val_loss": []}
+    it = 0
+    for epoch in range(cfg.epochs):
+        alpha = alpha_schedule(epoch, cfg)
+        perm = rng.permutation(train_ids)
+        tot, nb = 0.0, 0
+        for s in range(0, max(len(perm) - cfg.batch_size + 1, 1),
+                       cfg.batch_size):
+            batch = load_batch(perm[s:s + cfg.batch_size])
+            if batch is None:
+                continue
+            params, opt_state, metrics = step(params, opt_state, batch[0],
+                                              batch[1], alpha)
+            tot += float(metrics["loss"])
+            nb += 1
+            it += 1
+            logger.log(it, {k: float(v) for k, v in metrics.items()})
+            if cfg.val_every and it % cfg.val_every == 0:
+                vl = validate(params, alpha)
+                logger.log(it, {"val_loss": vl}, force_print=True)
+                if vl < best_val:
+                    best_val = vl
+                    best_params = jax.tree.map(lambda x: x, params)
+                    if ckpt is not None:
+                        ckpt.save("clip_finetune_best",
+                                  {"params": best_params, "step": it},
+                                  metadata={"val_loss": best_val})
+        val_loss = validate(params, alpha)
+        history["train_loss"].append(tot / max(nb, 1))
+        history["val_loss"].append(val_loss)
+        logger.log(it, {"epoch": epoch + 1, "train_loss": tot / max(nb, 1),
+                        "val_loss": val_loss, "alpha": alpha},
+                   force_print=True)
+        if val_loss < best_val:
+            best_val = val_loss
+            best_params = jax.tree.map(lambda x: x, params)
+            if ckpt is not None:
+                ckpt.save("clip_finetune_best",
+                          {"params": best_params, "step": it},
+                          metadata={"val_loss": best_val, "epoch": epoch + 1})
+    return best_params, history

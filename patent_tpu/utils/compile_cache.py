@@ -18,6 +18,15 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
         "PATENT_TPU_COMPILE_CACHE",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    # per-backend subdir: XLA:CPU AOT results are machine-specific and a
+    # cache hit compiled elsewhere can SIGILL; TPU entries come through the
+    # remote-compile service and must not mix with CPU entries
+    try:
+        import jax
+
+        cache_dir = os.path.join(cache_dir, jax.default_backend())
+    except Exception:
+        pass
     os.makedirs(cache_dir, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

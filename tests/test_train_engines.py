@@ -214,3 +214,36 @@ def test_plot_graph_embeddings(tmp_path, rng):
     import os
 
     assert os.path.exists(p)
+
+
+def test_run_finetune_loop(tmp_path):
+    """Full CLIP fine-tune loop on a synthetic image corpus: trains, validates,
+    saves the best checkpoint."""
+    from patent_tpu.data import synthetic
+    from patent_tpu.models.vit import VisionConfig
+    from patent_tpu.train.finetune_clip import run_finetune
+    from patent_tpu.utils.config import ClipFinetuneConfig
+
+    records, images_dir = synthetic.write_synthetic_corpus(
+        str(tmp_path), num_patents=8, figures_per_patent=3, image_size=16)
+    by_patent = {}
+    for r in records:
+        by_patent.setdefault(r.patent_id, []).append(r)
+    anchors, positives = [], []
+    for figs in by_patent.values():
+        for i in range(len(figs) - 1):
+            anchors.append(os.path.join(images_dir, figs[i].figure_id))
+            positives.append(os.path.join(images_dir, figs[i + 1].figure_id))
+    node_idx = np.arange(len(anchors)) % 10
+    vgae = np.random.default_rng(0).standard_normal((10, 24)).astype(np.float32)
+    cfg = ClipFinetuneConfig(epochs=2, batch_size=4, image_size=16,
+                             val_every=0)
+    vc = VisionConfig(image_size=16, patch_size=8, hidden_dim=32, num_layers=2,
+                      num_heads=4, mlp_dim=64, projection_dim=32)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    best_params, history = run_finetune(
+        anchors, positives, node_idx, vgae, vc, cfg,
+        logger=quiet_logger(), ckpt=ckpt)
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(history["train_loss"]))
+    assert ckpt.exists("clip_finetune_best")
