@@ -33,7 +33,7 @@ import numpy as np
 ACTIONS = ["train", "train_gcn", "train_hyp", "train_hyp_con", "train_end",
            "train_end_2", "train_class", "plot", "train_class_pro", "test",
            "infer", "dist", "prep", "encode", "retrieve", "eval", "bench",
-           "finetune"]
+           "finetune", "serve"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -172,10 +172,15 @@ def main(argv: list[str] | None = None) -> int:
                 num_patents)
             print(f"mAP (label retrieval): {test_map:.4f}")
         if action == "dist":
+            from ..train.evaluate import save_distance_analysis, strip_raw_samples
+
             analysis = distance_analysis(model, params, td.x_figures,
                                          td.y_pos, td.label_offsets,
                                          td.implication)
-            print(json.dumps(analysis, indent=2))
+            files = save_distance_analysis(analysis,
+                                           os.path.join(args.path, "analysis"))
+            print(json.dumps(strip_raw_samples(analysis), indent=2))
+            print("\n".join(files))
         return 0
 
     if action == "train_hyp_con":
@@ -252,6 +257,28 @@ def main(argv: list[str] | None = None) -> int:
         from ..retrieval.cli_actions import run_retrieval_action
 
         return run_retrieval_action(action, args)
+
+    if action == "serve":
+        # production serving: encode (or load) the gallery, start the HTTP
+        # retrieval server (retrieval/server.py)
+        from ..retrieval.cli_actions import _build_encoder, _corpus
+        from ..retrieval.engine import RetrievalEngine
+        from ..retrieval.server import serve
+
+        image_size = 64 if (args.synthetic or not os.path.isdir(
+            os.path.join(args.path, "test_gallery"))) else 224
+        encode = _build_encoder(args, image_size)
+        engine = RetrievalEngine(encode, batch_size=32,
+                                 image_size=image_size, num_workers=4)
+        gallery_dir, _q, _gt = _corpus(args, image_size)
+        prefix = os.path.join(args.path, "embeddings",
+                              f"index_{os.path.basename(gallery_dir)}")
+        if os.path.exists(prefix + ".npy"):
+            engine.load_embeddings(prefix)
+        else:
+            engine.encode_dataset(gallery_dir, save_prefix=prefix)
+        serve(engine, port=args.k if args.k > 100 else 8777)
+        return 0
 
     if action == "finetune":
         # CLIP fine-tune with graph alignment (retrieval.ipynb cell 20):

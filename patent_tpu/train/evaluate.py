@@ -131,5 +131,52 @@ def distance_analysis(model: HyperbolicEmbeddingModel, params: dict,
             "random_mean": float(d_rand.mean()),
             "ratio": float(d_true.mean() / max(d_rand.mean(), 1e-9)),
             "n": len(true_idx),
+            "_true": d_true,       # raw samples for CSV/plots (stripped on dump)
+            "_random": d_rand,
         }
     return out
+
+
+def save_distance_analysis(analysis: dict, out_dir: str) -> list[str]:
+    """Persist the distance analysis as CSV + box plot (the reference's
+    ``dist`` action writes a CSV and box/violin figures,
+    src/train.py:3521-3552, 3554-3640)."""
+    import csv
+    import os
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, "distance_analysis.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["level", "kind", "distance"])
+        for level, d in analysis.items():
+            for v in np.asarray(d.get("_true", [])):
+                w.writerow([level, "true", float(v)])
+            for v in np.asarray(d.get("_random", [])):
+                w.writerow([level, "random", float(v)])
+
+    fig, ax = plt.subplots(figsize=(9, 5))
+    labels, series = [], []
+    for level, d in analysis.items():
+        if "_true" in d:
+            labels += [f"{level}\ntrue", f"{level}\nrandom"]
+            series += [np.asarray(d["_true"]), np.asarray(d["_random"])]
+    if series:
+        ax.boxplot(series, tick_labels=labels)
+        ax.set_ylabel("Poincaré distance")
+        ax.set_title("true vs random label distances by hierarchy level")
+    plot_path = os.path.join(out_dir, "distance_boxplot.png")
+    fig.savefig(plot_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return [csv_path, plot_path]
+
+
+def strip_raw_samples(analysis: dict) -> dict:
+    """Drop the raw sample arrays (for JSON printing)."""
+    return {lvl: {k: v for k, v in d.items() if not k.startswith("_")}
+            for lvl, d in analysis.items()}
