@@ -57,7 +57,7 @@ class AlignmentHead(nn.Module):
         graph_proj = nn.Sequential([nn.Dense(self.proj_dim), nn.relu])
         z = img_proj(image_features)
         g = graph_proj(table[node_idx])
-        scale = jnp.clip(jnp.exp(logit_scale), a_max=100.0)
+        scale = jnp.clip(jnp.exp(logit_scale), max=100.0)
         return z, g, scale
 
 

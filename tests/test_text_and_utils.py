@@ -181,3 +181,18 @@ def test_profile_trace_smoke(tmp_path):
     # a trace directory with at least one file appears
     found = [f for _r, _d, fs in os.walk(tmp_path) for f in fs]
     assert found, "no trace files written"
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    """The orbax-backed CheckpointManager round-trips a state tree."""
+    pytest.importorskip("orbax.checkpoint")
+    from patent_tpu.utils.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path), use_orbax=True)
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.asarray(7)}
+    mgr.save("ckpt1", state)
+    restored = mgr.restore("ckpt1", target=state)
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+    assert int(restored["step"]) == 7
