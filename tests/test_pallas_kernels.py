@@ -113,3 +113,18 @@ def test_vit_with_flash_flag_matches_without(rng):
     m2 = VisionTransformer(VIT_TINY, use_flash=True)
     y2 = m2.apply(params, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
+def test_flash_attention_headbatch_matches_xla(rng):
+    from patent_tpu.ops.flash_attention import flash_attention
+
+    q = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 13, 4, 16)), jnp.float32)
+    got = flash_attention(q, k, v, force=True, head_batch=True)
+    scale = 1.0 / np.sqrt(16)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    attn = jax.nn.softmax(attn.astype(jnp.float32), -1)
+    want = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-2)
