@@ -247,3 +247,30 @@ def test_run_finetune_loop(tmp_path):
     assert len(history["train_loss"]) == 2
     assert all(np.isfinite(history["train_loss"]))
     assert ckpt.exists("clip_finetune_best")
+
+
+def test_distance_analysis_artifacts(prepared, tmp_path):
+    from patent_tpu.models.hyperbolic import HyperbolicEmbeddingModel
+    from patent_tpu.train.evaluate import (distance_analysis,
+                                           save_distance_analysis,
+                                           strip_raw_samples)
+
+    _, _, _, td = prepared
+    model = HyperbolicEmbeddingModel(feature_dim=td.x_figures.shape[1],
+                                     embed_dim=8, label_num=td.num_labels,
+                                     hidden_dims=(16,), c=1.0)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, td.x_figures.shape[1])))["params"]
+    analysis = distance_analysis(model, params, td.x_figures, td.y_pos,
+                                 td.label_offsets, td.implication,
+                                 num_samples=32)
+    assert "patent" in analysis and "main" in analysis
+    files = save_distance_analysis(analysis, str(tmp_path))
+    for f in files:
+        assert os.path.exists(f)
+    stripped = strip_raw_samples(analysis)
+    assert "_true" not in stripped["patent"]
+    assert "ratio" in stripped["patent"]
+    import json as _json
+
+    _json.dumps(stripped)  # JSON-serializable
