@@ -131,7 +131,6 @@ def main(argv: list[str] | None = None) -> int:
             best_params, history = train_hyperbolic_retrieval(
                 td, cfg, logger=logger, ckpt=ckpt)
             # final test-split mAP (reference train.py:1642-1757)
-            from ..data.prep import figure_pair_maps
             fig_pos = {}
             for f, p in td.y_pos.tolist():
                 fig_pos.setdefault(f, []).append(p)

@@ -189,3 +189,41 @@ def test_finetune_labels_no_substring_confusion():
             f"block_{i} misclassified"
     assert labels["projection"]["kernel"] == "train"
     assert labels["patch_embed"]["kernel"] == "frozen"
+
+
+def test_engine_with_mesh_end_to_end(image_dir, eight_devices):
+    """RetrievalEngine(mesh=...) evaluates identically to the unsharded one."""
+    from jax.sharding import Mesh
+
+    root, patents = image_dir
+    model = VisionTransformer(VIT_TINY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    apply_jit = jax.jit(model.apply)
+    encode = lambda b: apply_jit(params, b)
+    gallery = [p for fig in patents.values() for p in fig[1:]]
+    queries = [fig[0] for fig in patents.values()]
+    gt = {os.path.basename(q): {
+        "patent_positives": [os.path.basename(p) for p in patents[i][1:]],
+        "cpc_positives": []}
+        for i, q in zip(patents.keys(), queries)}
+
+    plain = RetrievalEngine(encode, batch_size=4, image_size=32)
+    plain.encode_dataset(gallery)
+    m1 = plain.evaluate(queries, gt)
+
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    sharded = RetrievalEngine(encode, batch_size=4, image_size=32, mesh=mesh)
+    sharded.encode_dataset(gallery)
+    m2 = sharded.evaluate(queries, gt)
+    assert m1.summary_dict() == m2.summary_dict()
+
+
+def test_shard_paths_per_host():
+    from patent_tpu.input import shard_paths_per_host
+
+    paths = [f"p{i}" for i in range(10)]
+    shards = [shard_paths_per_host(paths, h, 3) for h in range(3)]
+    # disjoint cover
+    all_paths = sorted(p for s in shards for p in s)
+    assert all_paths == sorted(paths)
+    assert shards[0] == ["p0", "p3", "p6", "p9"]
