@@ -260,16 +260,16 @@ def main(argv: list[str] | None = None) -> int:
     if action == "serve":
         # production serving: encode (or load) the gallery, start the HTTP
         # retrieval server (retrieval/server.py)
-        from ..retrieval.cli_actions import _build_encoder, _corpus
+        from ..retrieval.cli_actions import (_build_encoder, _corpus,
+                                             _gallery_image_size)
         from ..retrieval.engine import RetrievalEngine
         from ..retrieval.server import serve
 
-        image_size = 64 if (args.synthetic or not os.path.isdir(
-            os.path.join(args.path, "test_gallery"))) else 224
+        gallery_dir, _q, _gt = _corpus(args, 64 if args.synthetic else 224)
+        image_size = _gallery_image_size(gallery_dir)
         encode = _build_encoder(args, image_size)
         engine = RetrievalEngine(encode, batch_size=32,
                                  image_size=image_size, num_workers=4)
-        gallery_dir, _q, _gt = _corpus(args, image_size)
         prefix = os.path.join(args.path, "embeddings",
                               f"index_{os.path.basename(gallery_dir)}")
         if os.path.exists(prefix + ".npy"):

@@ -95,18 +95,34 @@ def _corpus(args, image_size: int):
     return gallery, query, gt
 
 
+def _gallery_image_size(gallery_dir: str) -> int:
+    """Pick the encoder resolution from the actual gallery images (stable
+    across runs — deciding by directory existence made a second invocation
+    pick a different encoder than the saved index was built with)."""
+    from ..input.pipeline import list_images
+
+    paths = list_images(gallery_dir)
+    if not paths:
+        return 224
+    try:
+        from PIL import Image
+
+        with Image.open(paths[0]) as im:
+            return 224 if min(im.size) >= 224 else 64
+    except Exception:
+        return 224
+
+
 def run_retrieval_action(action: str, args) -> int:
     from .engine import RetrievalEngine
 
-    image_size = 224 if not args.synthetic else 64
-    # use the small encoder for synthetic corpora (fast everywhere)
-    if args.synthetic or not os.path.isdir(os.path.join(args.path,
-                                                        "test_gallery")):
-        image_size = 64
+    # small corpora (synthetic or low-res) use the small encoder
+    image_size = 64 if args.synthetic else 224
+    gallery_dir, query_dir, gt_path = _corpus(args, image_size)
+    image_size = _gallery_image_size(gallery_dir)
     encode = _build_encoder(args, image_size)
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
                              num_workers=4)
-    gallery_dir, query_dir, gt_path = _corpus(args, image_size)
     prefix = os.path.join(args.path, "embeddings",
                           f"index_{os.path.basename(gallery_dir)}")
 

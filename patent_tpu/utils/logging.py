@@ -28,8 +28,11 @@ class MetricsLogger:
             try:
                 import wandb
 
+                # offline mode: zero-egress environments must not block on
+                # the wandb backend (sync later with `wandb sync`)
+                wandb.init(project=wandb_project or run_name, name=run_name,
+                           mode=os.environ.get("WANDB_MODE", "offline"))
                 self._wandb = wandb
-                wandb.init(project=wandb_project or run_name, name=run_name)
             except Exception:
                 self._wandb = None
         self._t0 = time.time()

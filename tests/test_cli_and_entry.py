@@ -76,3 +76,25 @@ def test_retrieve_action(tmp_path, capsys):
     scored = [l for l in out.splitlines() if l.strip().endswith(".png")
               and l.strip()[0].isdigit() or l.strip().startswith("0.")]
     assert len([l for l in out.splitlines() if ".png" in l]) >= 3
+
+
+def test_eval_with_real_corpus_split(tmp_path):
+    """--path with metadata.json + images/: the CLI splits with the
+    reference protocol and evaluates."""
+    from patent_tpu.data import synthetic
+
+    synthetic.write_synthetic_corpus(str(tmp_path), num_patents=6,
+                                     figures_per_patent=4, image_size=64)
+    rc = run_cli(["eval", "--path", str(tmp_path)])
+    assert rc == 0
+    assert os.path.exists(tmp_path / "ground_truth.json")
+    assert os.path.isdir(tmp_path / "test_gallery")
+    assert os.path.isdir(tmp_path / "test_query")
+    # split dirs are symlinks into images/ (no copies)
+    import os as _os
+
+    entries = _os.listdir(tmp_path / "test_gallery")
+    assert entries and _os.path.islink(tmp_path / "test_gallery" / entries[0])
+    # re-run reuses the existing split + saved index
+    rc = run_cli(["eval", "--path", str(tmp_path)])
+    assert rc == 0
