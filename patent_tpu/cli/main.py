@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--synthetic", action="store_true",
                    help="force the synthetic corpus")
+    p.add_argument("--port", type=int, default=8777,
+                   help="retrieval server port (serve action)")
     p.add_argument("overrides", nargs="*",
                    help="config overrides as key=value")
     return p
@@ -276,7 +278,7 @@ def main(argv: list[str] | None = None) -> int:
             engine.load_embeddings(prefix)
         else:
             engine.encode_dataset(gallery_dir, save_prefix=prefix)
-        serve(engine, port=args.k if args.k > 100 else 8777)
+        serve(engine, port=args.port)
         return 0
 
     if action == "finetune":
