@@ -161,6 +161,10 @@ def pairwise_dist(x: jax.Array, y: jax.Array, c: float | jax.Array = 1.0) -> jax
 
     Uses the arcosh closed form (one Gram matmul + elementwise tail); replaces
     the reference's per-pair Python loops (src/train.py:2312-2320, 1433-1452).
+
+    Conditioning: γ−1 scales with c·‖x−y‖², so for c ≲ 1e-3 in f32 the form
+    degrades near coincident points; every shipped config uses c ∈ [0.5, 2]
+    (reference models.py:508, train.py:4026) where it is exact to ~5e-3.
     """
     dtype = jnp.result_type(x, y)
     c = jnp.asarray(c, dtype)

@@ -235,3 +235,39 @@ def test_jit_and_grad_clean():
     y = jnp.asarray([[-0.99, 0.0], [0.0, 0.0]], jnp.float32)
     g = jax.grad(loss)(x, y)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_euclidean_limit_small_c(rng):
+    """As c→0 the ball flattens: d_c(x,y) → 2‖x−y‖ and expmap0 → identity."""
+    c = 1e-6
+    x = jnp.asarray(rng.standard_normal((16, 8)) * 0.3, jnp.float32)
+    y = jnp.asarray(rng.standard_normal((16, 8)) * 0.3, jnp.float32)
+    d = np.asarray(dist(x, y, c))
+    euclid = 2.0 * np.linalg.norm(np.asarray(x) - np.asarray(y), axis=-1)
+    np.testing.assert_allclose(d, euclid, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(expmap0(x, c)), np.asarray(x),
+                               rtol=1e-3)
+    # mobius_add → ordinary addition
+    np.testing.assert_allclose(np.asarray(mobius_add(x, y, c)),
+                               np.asarray(x + y), rtol=1e-3, atol=1e-5)
+
+
+def test_pairwise_small_c_conditioning(rng):
+    """The arcosh closed form is ill-conditioned as c→0 in f32 (γ−1 ~ c·‖x−y‖²
+    underflows); at c=0.1 — well below any config the framework uses — it
+    still tracks the well-conditioned artanh form."""
+    c = 0.1
+    x = rand_ball(rng, 12, 6, c, scale=0.6)
+    pm = np.asarray(pairwise_dist(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(x, jnp.float32), c))
+    want = np_dist(x[:, None, :], x[None, :, :], c)
+    mask = ~np.eye(len(x), dtype=bool)
+    np.testing.assert_allclose(pm[mask], want[mask], rtol=2e-2, atol=1e-3)
+
+
+def test_dist_monotone_in_curvature(rng):
+    """For fixed points inside every ball, distance grows with curvature."""
+    x = jnp.asarray([[0.3, 0.1]], jnp.float32)
+    y = jnp.asarray([[-0.2, 0.4]], jnp.float32)
+    ds = [float(dist(x, y, c)[0]) for c in (0.1, 0.5, 1.0, 2.0)]
+    assert ds == sorted(ds)
