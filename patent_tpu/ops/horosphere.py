@@ -23,11 +23,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .poincare import MIN_NORM, project
+from .poincare import project
+
+# f32 norm floor: the tangent-sphere radius scales as 1/‖p‖ and its gradient
+# as 1/‖p‖², so a 1e-15 floor (the reference's float64 MIN_NORM,
+# models.py:15) overflows f32 gradients for near-origin points; 1e-6 keeps
+# radius ≤ ~7e5 and gradients finite while being geometrically negligible.
+NORM_FLOOR = 1e-6
 
 
 def _norm(x, keepdims=True):
-    return jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=keepdims), MIN_NORM)
+    return jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=keepdims),
+                       NORM_FLOOR)
 
 
 def _radius_center(p: jax.Array, c: float) -> tuple[jax.Array, jax.Array]:

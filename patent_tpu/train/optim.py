@@ -100,6 +100,13 @@ def riemannian_adam(learning_rate: float | optax.Schedule,
                 mu_new = b1 * mu_l + (1.0 - b1) * r
                 nu_new = b2 * nu_l + (1.0 - b2) * r * r
                 direction = (mu_new / bc1) / (jnp.sqrt(nu_new / bc2) + eps)
+                # trust region: a pathological direction (f32 near-boundary
+                # gradients can spike) must not fling the point across the
+                # ball — cap the tangent step norm at a geodesic length ~10
+                dir_norm = jnp.linalg.norm(direction, axis=-1, keepdims=True)
+                max_norm = 10.0 / jnp.maximum(lr, 1e-12)
+                direction = direction * jnp.minimum(
+                    1.0, max_norm / jnp.maximum(dir_norm, 1e-12))
                 p_new = poincare.project(
                     poincare.expmap(p, -lr * direction, c), c)
                 mu_new = poincare.ptransp(p, p_new, mu_new, c)

@@ -279,6 +279,11 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         if nb == 0:
             raise RuntimeError("no usable training batches")
         train_loss = epoch_metrics["total_loss"] / nb
+        if not np.isfinite(train_loss):
+            raise FloatingPointError(
+                f"non-finite training loss at epoch {epoch} "
+                f"(metrics: { {k: v / nb for k, v in epoch_metrics.items()} }); "
+                "reduce learning_rate or check input feature scale")
 
         # validation epoch (same batcher over val split, no grads)
         val_metrics: dict[str, float] = {}
