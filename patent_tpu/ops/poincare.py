@@ -54,8 +54,15 @@ def _sq_norm(x: jax.Array, keepdims: bool = True) -> jax.Array:
 
 
 def _norm(x: jax.Array, keepdims: bool = True) -> jax.Array:
-    # clamped Euclidean norm along the last axis
-    return jnp.maximum(jnp.sqrt(jnp.maximum(_sq_norm(x, keepdims), 0.0)), MIN_NORM)
+    """Smoothed Euclidean norm along the last axis: sqrt(‖x‖² + MIN_NORM²).
+
+    The smoothing (vs a max-clamp) matters for GRADIENTS at x ≈ 0: the
+    max-clamp backward computes v/‖v‖ which is NaN/∞ at the cancellation
+    point — observed in practice when the figure-pair loss differentiates
+    d(x, x) through mobius_add(−x, x) ≈ 0 (TPU f32, reference-scale run).
+    The value perturbation is ≤ MIN_NORM = 1e-15, far below f32 resolution
+    for any non-degenerate input."""
+    return jnp.sqrt(_sq_norm(x, keepdims) + MIN_NORM * MIN_NORM)
 
 
 def artanh(x: jax.Array) -> jax.Array:

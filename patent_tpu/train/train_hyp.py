@@ -81,11 +81,16 @@ def make_batches(td: TrainingData, indices: np.ndarray, batch_size: int,
             pos_figs = fig_to_pos_figures.get(f)
             neg_figs = fig_to_neg_figures.get(f)
             # pair partner: alternate positive/negative like the reference's
-            # one-pos-one-neg per anchor; placeholder self-pair when absent
-            if pos_figs and (neg_figs is None or rng.random() < 0.5):
-                partner, plabel = int(pos_figs[int(rng.integers(len(pos_figs)))]), 1.0
-            elif neg_figs:
+            # one-pos-one-neg per anchor.  A self-pair (the reference's
+            # placeholder, train.py:1337-1344) is only emitted when the
+            # figure has NO partner of either kind: d(x, x) ≈ 0 carries no
+            # signal and its gradient is the distance function's singular
+            # point — prefer a real partner whenever one exists.
+            want_neg = neg_figs and (not pos_figs or rng.random() < 0.5)
+            if want_neg:
                 partner, plabel = int(neg_figs[int(rng.integers(len(neg_figs)))]), 0.0
+            elif pos_figs:
+                partner, plabel = int(pos_figs[int(rng.integers(len(pos_figs)))]), 1.0
             else:
                 partner, plabel = f, 1.0
             rows.append((f, fig_to_pos_patent[f],

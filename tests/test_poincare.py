@@ -271,3 +271,21 @@ def test_dist_monotone_in_curvature(rng):
     y = jnp.asarray([[-0.2, 0.4]], jnp.float32)
     ds = [float(dist(x, y, c)[0]) for c in (0.1, 0.5, 1.0, 2.0)]
     assert ds == sorted(ds)
+
+
+def test_dist_gradient_finite_at_coincident_points(rng):
+    """Backward through d(x, x) must be finite — the figure-pair loss hits
+    this exact singular point via self-pairs (TPU f32 NaN regression)."""
+    x = jnp.asarray(rand_ball(rng, 8, 16, 2.0, scale=0.69), jnp.float32)
+
+    def loss(a):
+        return jnp.sum(dist(a, a, 2.0))        # identically-equal operands
+
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    def loss2(a, b):
+        return jnp.sum(dist(a, b, 2.0))
+
+    g2 = jax.grad(loss2)(x, x + 1e-9)          # near-coincident
+    assert np.all(np.isfinite(np.asarray(g2)))
