@@ -281,3 +281,34 @@ def test_distance_analysis_artifacts(prepared, tmp_path):
     import json as _json
 
     _json.dumps(stripped)  # JSON-serializable
+
+
+def test_packed_batcher_matches_legacy_semantics(prepared):
+    """The vectorized batcher draws from exactly the same supervision sets
+    as the legacy dict-walking generator."""
+    from patent_tpu.train.train_hyp import (PackedSupervision,
+                                            make_batches_packed)
+    from patent_tpu.data.prep import figure_pair_maps
+
+    _, _, _, td = prepared
+    maps = figure_pair_maps(td)
+    pos_pat, neg_pat, pos_fig, neg_fig = maps
+    packed = PackedSupervision(td, maps)
+    idxs = packed.usable
+    rng = np.random.default_rng(5)
+    seen_figs = set()
+    for batch in make_batches_packed(packed, packed.slots_for(idxs), 32, 2, rng):
+        n = int(batch.valid.sum())
+        for row in range(n):
+            f = int(batch.figure_idx[row])
+            seen_figs.add(f)
+            assert int(batch.pos_patent[row]) == pos_pat[f]
+            for npat in batch.neg_patents[row]:
+                assert int(npat) in neg_pat[f]
+            partner = int(batch.pair_b_figure[row])
+            if batch.pair_label[row] == 0.0:
+                assert partner in neg_fig.get(f, [])
+            else:
+                assert partner == f or partner in pos_fig.get(f, [])
+    # every usable figure appears exactly once per epoch
+    assert seen_figs == set(int(f) for f in idxs)
