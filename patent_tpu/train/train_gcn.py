@@ -107,16 +107,19 @@ def train_pair_classification(x: np.ndarray, adjacency: np.ndarray,
     step = 0
     for epoch in range(1, cfg.epochs + 1):
         ep_perm = rng.permutation(tr)
-        tot, nb = 0.0, 0
+        loss_acc, nb = None, 0
         for s in range(0, len(ep_perm), cfg.batch_size):
             idx = jnp.asarray(ep_perm[s:s + cfg.batch_size], jnp.int32)
             key, sub = jax.random.split(key)
             params, batch_stats, opt_state, loss, acc = train_step(
                 params, batch_stats, opt_state, idx, sub,
                 x_dev, a_tilde, pairs_j, labels_j)
-            tot += float(loss)
+            # device-side accumulation: per-step float() fetches round-trip
+            # the device link (see train_hyp)
+            loss_acc = loss if loss_acc is None else loss_acc + loss
             nb += 1
             step += 1
+        tot = float(loss_acc) if nb else 0.0
         val_loss, val_acc, _ = evaluate(params, batch_stats, va)
         history["train_loss"].append(tot / max(nb, 1))
         history["val_loss"].append(val_loss)

@@ -101,16 +101,18 @@ def train_hmi(features: np.ndarray, inputs: HMIInputs, num_labels: int,
     it = 0
     for epoch in range(1, epochs + 1):
         perm = rng.permutation(n)
-        tot, nb = 0.0, 0
+        loss_acc, nb = None, 0
         for s in range(0, n - batch_size + 1, batch_size):
             idx = perm[s:s + batch_size]
             params, opt_state, metrics = step(
                 params, opt_state, jnp.asarray(pairs[idx, 0]),
                 jnp.asarray(pairs[idx, 1]),
                 jnp.asarray(targets[idx]), x_dev, impl_j, excl_j)
-            tot += float(metrics["total_loss"])
+            loss_acc = (metrics["total_loss"] if loss_acc is None
+                        else loss_acc + metrics["total_loss"])
             nb += 1
             it += 1
+        tot = float(loss_acc) if nb else 0.0
         if nb == 0:  # tiny datasets: single full batch (padded by resample)
             idx = rng.choice(n, size=min(batch_size, n), replace=n < batch_size)
             params, opt_state, metrics = step(

@@ -85,14 +85,15 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
             yield jnp.asarray(a), jnp.asarray(p)
 
     for epoch in range(1, cfg.epochs + 1):
-        tot, nb = 0.0, 0
+        loss_acc, nb = None, 0
         for a, p in epoch_batches(train_anchors):
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, a, p, sub,
                                                  x_figures)
-            tot += float(loss)
+            loss_acc = loss if loss_acc is None else loss_acc + loss
             nb += 1
             step += 1
+        tot = float(loss_acc) if nb else 0.0
         if nb == 0:
             # small corpora: train on everything in one batch-sized chunk
             a = jnp.asarray(train_anchors[:cfg.batch_size])
@@ -102,10 +103,12 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
                                                  x_figures)
             tot, nb = float(loss), 1
             step += 1
-        vtot, vb = 0.0, 0
+        vacc, vb = None, 0
         for a, p in epoch_batches(val_anchors):
-            vtot += float(eval_step(params, a, p, x_figures))
+            v = eval_step(params, a, p, x_figures)
+            vacc = v if vacc is None else vacc + v
             vb += 1
+        vtot = float(vacc) if vb else 0.0
         val_loss = vtot / vb if vb else tot / nb
         history["train_loss"].append(tot / nb)
         history["val_loss"].append(val_loss)
