@@ -78,6 +78,13 @@ int decode_png(const uint8_t* buf, size_t len, Image* out) {
       color_type = data[9];
       interlace = data[12];
       if (width <= 0 || height <= 0) return -2;
+      // pixel cap: bounds every size computation below (stride ≤ 2^18,
+      // raw_size ≤ ~2^28) so size_t arithmetic can never overflow, and a
+      // crafted IHDR can't trigger a multi-GB allocation
+      if (width > 65535 || height > 65535 ||
+          int64_t(width) * int64_t(height) > (int64_t(1) << 26)) {
+        return -6;  // image too large → fallback / skip
+      }
       if (bit_depth != 8) return -3;        // unsupported depth → fallback
       if (interlace != 0) return -3;        // Adam7 → fallback
     } else if (!std::memcmp(type, "PLTE", 4)) {
@@ -395,6 +402,27 @@ int decode_file(const char* path, int image_size, const float* mean,
   return 0;
 }
 
+// Exception-safe wrappers: a std::bad_alloc (or any other exception) must
+// never cross the extern "C"/ctypes boundary or escape a worker thread —
+// both would std::terminate the host Python process.  -7 = internal error.
+int decode_file_safe(const char* path, int image_size, const float* mean,
+                     const float* inv_std, float* out) noexcept {
+  try {
+    return decode_file(path, image_size, mean, inv_std, out);
+  } catch (...) {
+    return -7;
+  }
+}
+
+int decode_file_u8_safe(const char* path, int image_size,
+                        uint8_t* out) noexcept {
+  try {
+    return decode_file_u8(path, image_size, out);
+  } catch (...) {
+    return -7;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // thread-pool batch decode
 // ---------------------------------------------------------------------------
@@ -417,8 +445,9 @@ void decode_batch_threaded(const BatchJob& job, int num_threads) {
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= job.n) break;
-      job.status[i] = decode_file(job.paths[i], job.image_size, job.mean,
-                                  job.inv_std, job.out + img_elems * i);
+      job.status[i] = decode_file_safe(job.paths[i], job.image_size,
+                                       job.mean, job.inv_std,
+                                       job.out + img_elems * i);
     }
   };
   if (num_threads <= 1) {
@@ -439,7 +468,7 @@ extern "C" {
 // Returns 0 on success; negative codes on failure (caller falls back).
 int patent_io_decode(const char* path, int image_size, const float* mean,
                      const float* inv_std, float* out) {
-  return decode_file(path, image_size, mean, inv_std, out);
+  return decode_file_safe(path, image_size, mean, inv_std, out);
 }
 
 // Decode a batch of files with an internal thread pool.  ``status[i]`` gets
@@ -462,7 +491,8 @@ void patent_io_decode_batch_u8(const char* const* paths, int n,
     while (true) {
       const int i = next.fetch_add(1);
       if (i >= n) break;
-      status[i] = decode_file_u8(paths[i], image_size, out + img_elems * i);
+      status[i] = decode_file_u8_safe(paths[i], image_size,
+                                      out + img_elems * i);
     }
   };
   if (num_threads <= 1) {

@@ -278,7 +278,8 @@ def main(argv: list[str] | None = None) -> int:
             engine.load_embeddings(prefix)
         else:
             engine.encode_dataset(gallery_dir, save_prefix=prefix)
-        serve(engine, port=args.port)
+        # image_path queries are confined to the gallery directory
+        serve(engine, port=args.port, data_root=gallery_dir)
         return 0
 
     if action == "finetune":

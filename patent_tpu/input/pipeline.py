@@ -222,6 +222,105 @@ ImageBatcher._iter_native = _iter_native
 ImageBatcher._emit = _emit
 
 
+class PairBatcher:
+    """Threaded anchor∥positive pair batching with one-batch-ahead prefetch.
+
+    Input stage for the CLIP fine-tune loop (L8): the reference feeds it
+    with a DataLoader(num_workers=16-32, prefetch) (train.py:4292-4308);
+    the framework's serial per-pair decode was host-bound.  A shared decode
+    thread pool + a single assembler thread keep the NEXT batch decoding
+    while the device steps on the current one.
+
+    Semantics match the serial loader exactly: a pair is dropped when either
+    side fails to decode (reference collate filters None), batches hold
+    ``batch_size`` pairs (tail dropped unless the epoch is shorter than one
+    batch), images are stacked anchors ∥ positives → [2b, S, S, 3].
+    """
+
+    def __init__(self, anchor_paths: Sequence[str],
+                 positive_paths: Sequence[str], node_idx: Sequence[int],
+                 batch_size: int = 32, image_size: int = IMAGE_SIZE,
+                 num_workers: int = 8, use_native: bool | None = None):
+        assert len(anchor_paths) == len(positive_paths) == len(node_idx)
+        self.anchors = list(anchor_paths)
+        self.positives = list(positive_paths)
+        self.node_idx = np.asarray(node_idx, np.int32)
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.num_workers = max(1, num_workers)
+        if use_native is None:
+            from . import native
+
+            use_native = native.native_available()
+        self.use_native = use_native
+        self._pool = cf.ThreadPoolExecutor(self.num_workers)
+        self._assembler = cf.ThreadPoolExecutor(1)
+
+    def _assemble(self, ids: list[int]):
+        """Decode one batch of pairs → (images [2b, S, S, 3], nodes [b])."""
+        if self.use_native:
+            paths = ([self.anchors[i] for i in ids]
+                     + [self.positives[i] for i in ids])
+            batch, survivors = _native_decode_chunk(paths, self.image_size,
+                                                    self.num_workers)
+            alive = set(survivors)
+            keep = [j for j in range(len(ids))
+                    if j in alive and j + len(ids) in alive]
+            if not keep:
+                return None
+            images = np.concatenate([batch[keep],
+                                     batch[[j + len(ids) for j in keep]]])
+            nodes = self.node_idx[[ids[j] for j in keep]]
+            return images, nodes
+        a_futs = [self._pool.submit(decode_image, self.anchors[i],
+                                    self.image_size) for i in ids]
+        p_futs = [self._pool.submit(decode_image, self.positives[i],
+                                    self.image_size) for i in ids]
+        pairs, nodes = [], []
+        for i, fa, fp in zip(ids, a_futs, p_futs):
+            a, p = fa.result(), fp.result()
+            if a is None or p is None:
+                continue
+            pairs.append((a, p))
+            nodes.append(self.node_idx[i])
+        if not pairs:
+            return None
+        return (np.concatenate([np.stack([a for a, _ in pairs]),
+                                np.stack([p for _, p in pairs])]),
+                np.asarray(nodes, np.int32))
+
+    def epoch(self, ids: Sequence[int]):
+        """Iterate (images, nodes) batches over ``ids`` (an epoch order),
+        prefetching one batch ahead of the consumer."""
+        ids = [int(i) for i in ids]
+        if len(ids) >= self.batch_size:
+            usable = (len(ids) // self.batch_size) * self.batch_size
+            batches = [ids[s:s + self.batch_size]
+                       for s in range(0, usable, self.batch_size)]
+        elif ids:
+            batches = [ids]
+        else:
+            return
+        pending = self._assembler.submit(self._assemble, batches[0])
+        for k in range(len(batches)):
+            nxt = (self._assembler.submit(self._assemble, batches[k + 1])
+                   if k + 1 < len(batches) else None)
+            out = pending.result()
+            pending = nxt
+            if out is not None:
+                yield out
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+        self._assembler.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def shard_paths_per_host(paths: Sequence[str], host_id: int, num_hosts: int) -> list[str]:
     """Deterministic per-host shard of the file list (multi-host input:
     each host decodes its slice; device batches are formed per host)."""

@@ -58,12 +58,25 @@ def dist0_band_regularizers(label_emb: jax.Array, encoded_figures: jax.Array,
                             label_min: float = LABEL_DIST0_MIN,
                             label_max: float = LABEL_DIST0_MAX,
                             instance_max: float = INSTANCE_DIST0_MAX,
+                            num_valid_labels: int | None = None,
                             ) -> tuple[jax.Array, jax.Array]:
-    """(label_reg, instance_reg) via hyperbolic distance from the origin."""
+    """(label_reg, instance_reg) via hyperbolic distance from the origin.
+
+    ``num_valid_labels`` masks rows ≥ it out of the label regularizer — used
+    when the table is zero-padded to a model-mesh-axis multiple for row
+    sharding (parallel/sharded_train.py); with all rows valid the masked
+    mean equals the plain mean exactly.
+    """
     label_d0 = jnp.maximum(poincare.dist0(label_emb, c, keepdims=True),
                            poincare.MIN_NORM)
-    label_reg = jnp.mean(jax.nn.relu(label_min - label_d0) +
-                         jax.nn.relu(label_d0 - label_max))
+    per_label = (jax.nn.relu(label_min - label_d0)
+                 + jax.nn.relu(label_d0 - label_max))
+    if num_valid_labels is not None and num_valid_labels < label_emb.shape[0]:
+        valid = (jnp.arange(label_emb.shape[0]) < num_valid_labels
+                 )[:, None].astype(per_label.dtype)
+        label_reg = jnp.sum(per_label * valid) / num_valid_labels
+    else:
+        label_reg = jnp.mean(per_label)
     fig_d0 = jnp.maximum(poincare.dist0(encoded_figures, c, keepdims=True),
                          poincare.MIN_NORM)
     instance_reg = jnp.mean(jax.nn.relu(fig_d0 - instance_max))

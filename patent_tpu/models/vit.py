@@ -75,15 +75,41 @@ TEXT_TINY = TextConfig(vocab_size=128, context_length=16, hidden_dim=64,
                        num_layers=2, num_heads=4, mlp_dim=128, projection_dim=32)
 
 
+class _DenseParams(nn.Module):
+    """Parameter container with nn.Dense's exact param tree (kernel/bias,
+    lecun_normal/zeros init) but NO computation — lets fused Pallas kernels
+    consume the weights directly while staying checkpoint-compatible with
+    the nn.Dense path."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     use_flash: bool = False   # fused Pallas attention (ops/flash_attention.py)
+    fused_block: bool = False  # QKV+attention+out-proj in ONE Pallas kernel
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
         d = x.shape[-1]
         head_dim = d // self.num_heads
+        if self.fused_block and mask is None:
+            from ..ops.flash_attention import fused_attention_block
+
+            wqkv, bqkv = _DenseParams(3 * d, name="qkv")(d)
+            wout, bout = _DenseParams(d, name="out")(d)
+            cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            return fused_attention_block(
+                x.astype(self.dtype), cast(wqkv), cast(bqkv), cast(wout),
+                cast(bout), self.num_heads)
         # fused QKV: one [d, 3d] matmul instead of three — better MXU tiling
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -113,13 +139,15 @@ class TransformerBlock(nn.Module):
     mlp_dim: int
     dtype: Any = jnp.float32
     use_flash: bool = False
+    fused_block: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype,
-                          use_flash=self.use_flash, name="attn")(h, mask)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
+                          use_flash=self.use_flash,
+                          fused_block=self.fused_block, name="attn")(h, mask)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = quick_gelu(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="mlp_out")(h)
@@ -133,6 +161,7 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False   # fused Pallas attention on TPU
+    fused_block: bool = False  # whole attention sub-layer as one kernel
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
@@ -151,16 +180,17 @@ class VisionTransformer(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x)
 
         block = TransformerBlock
         if self.remat:
             block = nn.remat(TransformerBlock)
         for i in range(cfg.num_layers):
             x = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
-                      use_flash=self.use_flash, name=f"block_{i}")(x)
+                      use_flash=self.use_flash, fused_block=self.fused_block,
+                      name=f"block_{i}")(x)
 
-        x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="projection")(x)
 
@@ -188,7 +218,7 @@ class TextTransformer(nn.Module):
         for i in range(cfg.num_layers):
             x = TransformerBlock(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                                  name=f"block_{i}")(x, causal)
-        x = nn.LayerNorm(dtype=jnp.float32, name="final_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x)
         # CLIP pools at the EOS position = argmax of token ids
         eos = jnp.argmax(input_ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eos]
@@ -207,13 +237,34 @@ def load_hf_clip_params(checkpoint_dir: str,
     Maps ``vision_model.*`` + ``visual_projection`` tensors; torch Linear
     weights are [out, in] and get transposed to flax's [in, out]; the patch
     conv [out, in, kh, kw] becomes [kh, kw, in, out].
-    """
-    import torch  # CPU-only, used purely as a checkpoint reader
 
+    Executed parity vs torch ``CLIPModel.get_image_features`` is pinned by
+    tests/test_clip_parity.py (max-abs ≤ 1e-4 in f32 on a random-init model
+    round-tripped through save_pretrained → this loader).
+    """
     from transformers import CLIPModel
 
     model = CLIPModel.from_pretrained(checkpoint_dir)
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return hf_clip_vision_params(sd, vision_config)
+
+
+def load_hf_clip_text_params(checkpoint_dir: str,
+                             text_config: TextConfig = TEXT_B) -> dict:
+    """Convert a local HF ``CLIPModel`` checkpoint's text tower
+    (``text_model.*`` + ``text_projection``) into TextTransformer params."""
+    from transformers import CLIPModel
+
+    model = CLIPModel.from_pretrained(checkpoint_dir)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return hf_clip_text_params(sd, text_config)
+
+
+def hf_clip_vision_params(sd: dict[str, np.ndarray],
+                          vision_config: VisionConfig = VIT_B16) -> dict:
+    """state-dict (numpy) → VisionTransformer param pytree (see
+    load_hf_clip_params; split out so in-process torch models can be
+    converted without a save/load round-trip)."""
 
     def lin(prefix):
         return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
@@ -249,6 +300,46 @@ def load_hf_clip_params(checkpoint_dir: str,
     p["post_ln"] = {"scale": sd[f"{vm}.post_layernorm.weight"],
                     "bias": sd[f"{vm}.post_layernorm.bias"]}
     p["projection"] = {"kernel": sd["visual_projection.weight"].T}
+    return jax.tree.map(jnp.asarray, p)
+
+
+def hf_clip_text_params(sd: dict[str, np.ndarray],
+                        text_config: TextConfig = TEXT_B) -> dict:
+    """state-dict (numpy) → TextTransformer param pytree (text_model.* +
+    text_projection; same Linear/LN conventions as the vision converter)."""
+
+    def lin(prefix):
+        return {"kernel": sd[prefix + ".weight"].T, "bias": sd[prefix + ".bias"]}
+
+    tm = "text_model"
+    p: dict[str, Any] = {
+        "token_embedding": sd[f"{tm}.embeddings.token_embedding.weight"],
+        "position_embedding":
+            sd[f"{tm}.embeddings.position_embedding.weight"],
+        "final_ln": {"scale": sd[f"{tm}.final_layer_norm.weight"],
+                     "bias": sd[f"{tm}.final_layer_norm.bias"]},
+        "projection": {"kernel": sd["text_projection.weight"].T},
+    }
+    for i in range(text_config.num_layers):
+        enc = f"{tm}.encoder.layers.{i}"
+        q = lin(f"{enc}.self_attn.q_proj")
+        k = lin(f"{enc}.self_attn.k_proj")
+        v = lin(f"{enc}.self_attn.v_proj")
+        p[f"block_{i}"] = {
+            "ln1": {"scale": sd[f"{enc}.layer_norm1.weight"],
+                    "bias": sd[f"{enc}.layer_norm1.bias"]},
+            "ln2": {"scale": sd[f"{enc}.layer_norm2.weight"],
+                    "bias": sd[f"{enc}.layer_norm2.bias"]},
+            "attn": {
+                "qkv": {"kernel": np.concatenate(
+                            [q["kernel"], k["kernel"], v["kernel"]], axis=1),
+                        "bias": np.concatenate(
+                            [q["bias"], k["bias"], v["bias"]])},
+                "out": lin(f"{enc}.self_attn.out_proj"),
+            },
+            "mlp_in": lin(f"{enc}.mlp.fc1"),
+            "mlp_out": lin(f"{enc}.mlp.fc2"),
+        }
     return jax.tree.map(jnp.asarray, p)
 
 

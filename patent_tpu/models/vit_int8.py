@@ -85,9 +85,9 @@ class Int8Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
         x = x + Int8Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
         w1 = self.param("mlp_in_w", nn.initializers.zeros,
                         (x.shape[-1], self.mlp_dim), jnp.int8)
         s1 = self.param("mlp_in_s", nn.initializers.ones, (self.mlp_dim,))
@@ -125,11 +125,11 @@ class Int8VisionTransformer(nn.Module):
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
         x = x + pos.astype(self.dtype)
-        x = nn.LayerNorm(dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
         for i in range(cfg.num_layers):
             x = Int8Block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                           name=f"block_{i}")(x)
-        x = nn.LayerNorm(dtype=jnp.float32, name="post_ln")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="projection")(x)
 

@@ -137,6 +137,117 @@ def _flash_impl(q: jax.Array, k: jax.Array, v: jax.Array, seq_len: int,
     )(q, k, v)
 
 
+def _fused_attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                             out_ref, *, seq_len: int, num_heads: int,
+                             head_dim: int, scale: float):
+    """One batch-element program: QKV projection → per-head softmax attention
+    → output projection, all in VMEM.
+
+    The whole attention sub-layer runs as ONE kernel, so per layer the HBM
+    traffic is x in + attn_out out — the XLA path materializes the [S, 3D]
+    QKV tensor, the head-major transposes, and the [H, S, S] f32 softmax to
+    HBM.  Head slices are 64-lane offsets into the qkv register tile
+    (cheap VMEM relayout, no HBM cost).
+    """
+    x = x_ref[0]                                            # [Sp, D] bf16
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+    d = num_heads * head_dim
+    sp = x.shape[0]
+    acc = (jnp.zeros((sp, d), jnp.float32)
+           + bout_ref[...].astype(jnp.float32))
+    col = jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+    key_mask = col < seq_len
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [Sp, Sp] f32
+        s = jnp.where(key_mask, s, -1e30)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [Sp, hd]
+        acc = acc + jax.lax.dot_general(
+            o.astype(x.dtype), wout_ref[lo:lo + head_dim, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("seq_len", "num_heads", "head_dim"))
+def _fused_attn_block_impl(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                           wout: jax.Array, bout: jax.Array, seq_len: int,
+                           num_heads: int, head_dim: int) -> jax.Array:
+    b, sp, d = x.shape
+    scale = 1.0 / float(np.sqrt(head_dim))
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops_attn = 4 * sp * sp * d            # scores + p·v across all heads
+    flops_proj = 2 * sp * d * (3 * d) + 2 * sp * d * d
+    return pl.pallas_call(
+        functools.partial(_fused_attn_block_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          scale=scale),
+        grid=(b,),
+        in_specs=[xspec, const_spec(wqkv.shape), const_spec(bqkv.shape),
+                  const_spec(wout.shape), const_spec(bout.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (flops_attn + flops_proj),
+            bytes_accessed=2 * 2 * b * sp * d + 8 * d * d,
+            transcendentals=b * num_heads * sp * sp,
+        ),
+    )(x, wqkv, bqkv, wout, bout)
+
+
+def fused_attention_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                          wout: jax.Array, bout: jax.Array, num_heads: int,
+                          force: bool = False) -> jax.Array:
+    """Full attention sub-layer ``(x @ Wqkv + b) → MHA → @ Wout + b`` fused
+    into one Pallas kernel (pre-residual output).
+
+    x: [B, S, D] (post-LN activations); wqkv: [D, 3D]; bqkv: [3D];
+    wout: [D, D]; bout: [D].  Returns [B, S, D].
+
+    On non-TPU backends (or without force) falls back to the equivalent
+    XLA einsum chain.
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        qkv = x @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(b, s, num_heads, head_dim)
+
+        out = flash_attention(heads(q), heads(k), heads(v))
+        return out.reshape(b, s, d) @ wout + bout
+
+    # bf16 VMEM tiling: pad S to a multiple of 16 (f32 scores need 8; bf16
+    # activations need 16 on the second-minor axis)
+    sp = _round_up(max(s, 16), 16)
+    xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    out = _fused_attn_block_impl(xp, wqkv, bqkv.reshape(1, -1), wout,
+                                 bout.reshape(1, -1), s, num_heads, head_dim)
+    return out[:, :s, :]
+
+
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     force: bool = False, head_batch: bool = True) -> jax.Array:
     """softmax(q kᵀ/√d) v for [B, S, H, D] inputs → [B, S, H, D].

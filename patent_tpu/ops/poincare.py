@@ -239,9 +239,13 @@ def gyration(u: jax.Array, v: jax.Array, w: jax.Array, c: float | jax.Array = 1.
     uw = jnp.sum(u * w, axis=-1, keepdims=True)
     vw = jnp.sum(v * w, axis=-1, keepdims=True)
     c2 = c * c
-    a = -c2 * uw * v2 - c * vw + 2.0 * c2 * uv * vw
-    b = -c2 * vw * u2 + c * uw
-    d = 1.0 - 2.0 * c * uv + c2 * u2 * v2
+    # signs verified against the composition definition
+    # gyr[u,v]w = ⊖(u⊕v) ⊕ (u ⊕ (v ⊕ w)) to machine epsilon in f64
+    # (tests/test_poincare_torch_oracle.py; round 1 shipped a sign-flipped
+    # variant that corrupted parallel transport)
+    a = -c2 * uw * v2 + c * vw + 2.0 * c2 * uv * vw
+    b = -c2 * vw * u2 - c * uw
+    d = 1.0 + 2.0 * c * uv + c2 * u2 * v2
     return w + 2.0 * (a * u + b * v) / jnp.maximum(d, MIN_NORM)
 
 

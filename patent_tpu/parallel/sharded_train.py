@@ -41,18 +41,57 @@ def make_hyp_mesh(n_devices: int | None = None, model_dim: int = 1,
                 ("data", "model"))
 
 
+def pad_label_table(params, opt_state, model_size: int):
+    """Zero-pad every ``label_emb`` leaf (params AND its optimizer moments)
+    along axis 0 to the next multiple of ``model_size`` so the table can be
+    genuinely row-sharded — replication is never the fallback.
+
+    Padded rows are inert: no batch index ever gathers them, and the
+    dist0-band regularizer masks them via ``num_real_labels``
+    (train_hyp.make_train_step), so their gradient is exactly zero and they
+    stay at the origin.  Returns (params, opt_state, real_rows, padded_rows).
+    """
+    real = None
+
+    def pad(path, leaf):
+        nonlocal real
+        ks = jax.tree_util.keystr(path)
+        if "label_emb" in ks and getattr(leaf, "ndim", 0) >= 1:
+            real = leaf.shape[0]
+            target = -(-leaf.shape[0] // model_size) * model_size
+            if target != leaf.shape[0]:
+                pad_width = [(0, target - leaf.shape[0])] + \
+                    [(0, 0)] * (leaf.ndim - 1)
+                return jnp.pad(leaf, pad_width)
+        return leaf
+
+    params = jax.tree_util.tree_map_with_path(pad, params)
+    opt_state = jax.tree_util.tree_map_with_path(pad, opt_state)
+    if real is None:
+        raise ValueError("no label_emb leaf found in params")
+    padded = -(-real // model_size) * model_size
+    return params, opt_state, real, padded
+
+
 def shard_hyp_state(mesh: Mesh, params, opt_state):
     """Place params/opt state on the mesh: label_emb rows over ``model``,
-    everything else replicated.  Optimizer moments follow their params."""
+    everything else replicated.  Optimizer moments follow their params.
+
+    The label table MUST divide the model axis — call ``pad_label_table``
+    first for arbitrary row counts.  (Round 1 silently replicated
+    non-divisible tables, defeating the purpose of the model axis for the
+    one parameter that grows with corpus size.)
+    """
 
     model_size = mesh.shape["model"]
 
     def spec_for(path, leaf):
         ks = jax.tree_util.keystr(path)
-        if ("label_emb" in ks and getattr(leaf, "ndim", 0) >= 1
-                and leaf.shape[0] % model_size == 0):
-            # row-shard the label table; non-divisible tables (pad them to a
-            # model_size multiple for real pods) fall back to replication
+        if "label_emb" in ks and getattr(leaf, "ndim", 0) >= 1:
+            if leaf.shape[0] % model_size:
+                raise ValueError(
+                    f"label table rows ({leaf.shape[0]}) must divide the "
+                    f"model axis ({model_size}); use pad_label_table first")
             return NamedSharding(mesh, P("model"))
         return NamedSharding(mesh, P())
 
@@ -64,14 +103,22 @@ def shard_hyp_state(mesh: Mesh, params, opt_state):
 
 
 def make_sharded_train_step(mesh: Mesh, model: HyperbolicEmbeddingModel,
-                            optimizer, cfg: HypTrainConfig):
+                            optimizer, cfg: HypTrainConfig,
+                            num_real_labels: int | None = None):
     """The train_hyp step with explicit input shardings over the mesh.
 
-    Batch arrays are sharded over ``data``; x_figures/implication are
-    replicated inputs; XLA inserts the gradient psum over ``data`` and the
-    label-row all-gathers over ``model``.
+    Batch arrays are sharded over ``data``; the figure feature matrix — the
+    other array that grows with corpus size — is ROW-SHARDED over ``data``
+    (GSPMD turns the batch gather into collective traffic over ICI instead
+    of keeping N full copies in HBM); implication/exclusion pair lists are
+    small and stay replicated; XLA inserts the gradient psum over ``data``
+    and the label-row all-gathers over ``model``.
+
+    ``num_real_labels``: pass the pre-padding row count when the label table
+    was padded with ``pad_label_table`` so the regularizer masks the padding.
     """
-    base_step, _ = make_train_step(model, optimizer, cfg)
+    base_step, _ = make_train_step(model, optimizer, cfg,
+                                   num_real_labels=num_real_labels)
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
@@ -80,7 +127,14 @@ def make_sharded_train_step(mesh: Mesh, model: HyperbolicEmbeddingModel,
                      for a in batch_arrays)
 
     def place_static(x_figures, implication, exclusion):
-        return (jax.device_put(jnp.asarray(x_figures), repl),
+        x = jnp.asarray(x_figures)
+        # pad rows to the data axis, then row-shard; batch indices always
+        # point below the real row count so padding is never gathered
+        data_size = mesh.shape["data"]
+        target = -(-x.shape[0] // data_size) * data_size
+        if target != x.shape[0]:
+            x = jnp.pad(x, ((0, target - x.shape[0]), (0, 0)))
+        return (jax.device_put(x, NamedSharding(mesh, P("data"))),
                 jax.device_put(jnp.asarray(implication), repl),
                 jax.device_put(jnp.asarray(exclusion), repl))
 

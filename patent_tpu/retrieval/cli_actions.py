@@ -27,9 +27,19 @@ def _build_encoder(args, image_size: int):
                               hidden_dim=64, num_layers=2, num_heads=4,
                               mlp_dim=128, projection_dim=64)
     model = VisionTransformer(config, dtype=jnp.bfloat16)
+    finetuned = os.path.join(args.path, "models", "clip_finetune_best")
     if args.checkpoint and os.path.isdir(args.checkpoint):
         params = {"params": load_hf_clip_params(args.checkpoint, config)}
         print(f"loaded CLIP weights from {args.checkpoint}")
+    elif os.path.isdir(finetuned):
+        # composed pipeline: the finetune action's best checkpoint feeds the
+        # encode/eval stages (retrieval.ipynb cell 20 → cell 2 handoff)
+        from ..utils.checkpoint import CheckpointManager
+
+        state = CheckpointManager(
+            os.path.join(args.path, "models")).restore("clip_finetune_best")
+        params = {"params": state["params"]["vit"]}
+        print(f"loaded finetuned vision tower from {finetuned}")
     else:
         params = jax.jit(model.init)(
             jax.random.key(0),

@@ -28,13 +28,33 @@ import numpy as np
 
 
 class RetrievalService:
-    """The request-serving core (separate from HTTP so it is testable)."""
+    """The request-serving core (separate from HTTP so it is testable).
 
-    def __init__(self, engine):
+    ``data_root`` bounds the filesystem surface of the ``image_path`` search
+    mode: only files under this directory (after symlink resolution) may be
+    read.  With ``data_root=None`` the mode is disabled entirely — a server
+    reachable beyond localhost must never be an arbitrary-file-read oracle.
+    """
+
+    def __init__(self, engine, data_root: str | None = None):
         self.engine = engine
+        self.data_root = (os.path.realpath(data_root)
+                          if data_root is not None else None)
         self._device_lock = threading.Lock()
         if engine.index is None:
             raise ValueError("engine has no index; encode_dataset first")
+
+    def _resolve_image_path(self, path: str) -> str | None:
+        """realpath-prefix containment check; None = denied or missing.
+        Denied and missing return the SAME caller-visible error so the
+        endpoint cannot be used to probe for file existence."""
+        if self.data_root is None:
+            return None
+        real = os.path.realpath(os.path.join(self.data_root, path))
+        if not (real == self.data_root
+                or real.startswith(self.data_root + os.sep)):
+            return None
+        return real if os.path.isfile(real) else None
 
     def healthz(self) -> dict:
         return {"status": "ok", "gallery_size": len(self.engine.index)}
@@ -60,10 +80,12 @@ class RetrievalService:
                     feats = feats[None]
                 results = self.engine.index.search_names(feats, k=k)
             elif "image_path" in payload:
-                path = payload["image_path"]
-                if not os.path.exists(path):
-                    return {"error": f"no such file: {path}", "_status": 400}
-                results = [self.engine.retrieve_similar_images(path, k=k)]
+                real = self._resolve_image_path(str(payload["image_path"]))
+                if real is None:
+                    return {"error": "image_path unavailable (must name an "
+                                     "existing file under the configured "
+                                     "data root)", "_status": 400}
+                results = [self.engine.retrieve_similar_images(real, k=k)]
             elif "name" in payload:
                 try:
                     row = self.engine.index.names.index(payload["name"])
@@ -117,10 +139,13 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(engine, host: str = "127.0.0.1", port: int = 8777,
-          block: bool = True) -> ThreadingHTTPServer:
+          block: bool = True,
+          data_root: str | None = None) -> ThreadingHTTPServer:
     """Start the retrieval server; returns the server object (non-blocking
-    mode runs it on a daemon thread)."""
-    service = RetrievalService(engine)
+    mode runs it on a daemon thread).  ``data_root`` opts in to the
+    image_path search mode, restricted to that directory (see
+    RetrievalService)."""
+    service = RetrievalService(engine, data_root=data_root)
     handler = type("BoundHandler", (_Handler,), {"service": service})
     server = ThreadingHTTPServer((host, port), handler)
     if block:

@@ -195,7 +195,7 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
     """
     import numpy as np
 
-    from ..input.pipeline import decode_image
+    from ..input.pipeline import PairBatcher
     from ..utils.logging import MetricsLogger
 
     logger = logger or MetricsLogger(print_every=10)
@@ -213,79 +213,64 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
         seed=cfg.seed)
     step, eval_step = make_finetune_step(vit, head, optimizer, cfg)
 
-    def load_batch(ids):
-        imgs, nodes = [], []
-        for i in ids:
-            a = decode_image(anchor_paths[int(i)], image_size)
-            p = decode_image(positive_paths[int(i)], image_size)
-            if a is None or p is None:
-                continue
-            imgs.append((a, p))
-            nodes.append(graph_node_idx[int(i)])
-        if not imgs:
-            return None
-        anchors = np.stack([a for a, _ in imgs])
-        positives = np.stack([p for _, p in imgs])
-        return (jnp.asarray(np.concatenate([anchors, positives])),
-                jnp.asarray(np.asarray(nodes, np.int32)))
+    # threaded decode + one-batch-ahead prefetch: the host decodes the next
+    # anchor∥positive batch while the device steps on the current one (the
+    # reference uses DataLoader(num_workers=16-32), train.py:4292-4308)
+    batcher = PairBatcher(anchor_paths, positive_paths, graph_node_idx,
+                          batch_size=cfg.batch_size, image_size=image_size,
+                          num_workers=cfg.num_workers)
 
     def validate(params, alpha):
         tot, nb = 0.0, 0
-        for s in range(0, len(val_ids) - cfg.batch_size + 1, cfg.batch_size):
-            batch = load_batch(val_ids[s:s + cfg.batch_size])
-            if batch is None:
-                continue
-            m = eval_step(params, batch[0], batch[1], alpha)
+        for images, nodes in batcher.epoch(val_ids):
+            m = eval_step(params, jnp.asarray(images), jnp.asarray(nodes),
+                          alpha)
             tot += float(m["loss"])
             nb += 1
-        if nb == 0:
-            batch = load_batch(val_ids[:min(len(val_ids), cfg.batch_size)])
-            if batch is not None:
-                m = eval_step(params, batch[0], batch[1], alpha)
-                return float(m["loss"])
-            return float("inf")
-        return tot / nb
+        return tot / nb if nb else float("inf")
 
     best_val = float("inf")
     best_params = params
     history: dict[str, list] = {"train_loss": [], "val_loss": []}
     it = 0
-    for epoch in range(cfg.epochs):
-        alpha = alpha_schedule(epoch, cfg)
-        perm = rng.permutation(train_ids)
-        tot, nb = 0.0, 0
-        for s in range(0, max(len(perm) - cfg.batch_size + 1, 1),
-                       cfg.batch_size):
-            batch = load_batch(perm[s:s + cfg.batch_size])
-            if batch is None:
-                continue
-            params, opt_state, metrics = step(params, opt_state, batch[0],
-                                              batch[1], alpha)
-            tot += float(metrics["loss"])
-            nb += 1
-            it += 1
-            logger.log(it, {k: float(v) for k, v in metrics.items()})
-            if cfg.val_every and it % cfg.val_every == 0:
-                vl = validate(params, alpha)
-                logger.log(it, {"val_loss": vl}, force_print=True)
-                if vl < best_val:
-                    best_val = vl
-                    best_params = jax.tree.map(lambda x: x, params)
-                    if ckpt is not None:
-                        ckpt.save("clip_finetune_best",
-                                  {"params": best_params, "step": it},
-                                  metadata={"val_loss": best_val})
-        val_loss = validate(params, alpha)
-        history["train_loss"].append(tot / max(nb, 1))
-        history["val_loss"].append(val_loss)
-        logger.log(it, {"epoch": epoch + 1, "train_loss": tot / max(nb, 1),
-                        "val_loss": val_loss, "alpha": alpha},
-                   force_print=True)
-        if val_loss < best_val:
-            best_val = val_loss
-            best_params = jax.tree.map(lambda x: x, params)
-            if ckpt is not None:
-                ckpt.save("clip_finetune_best",
-                          {"params": best_params, "step": it},
-                          metadata={"val_loss": best_val, "epoch": epoch + 1})
+    try:
+        for epoch in range(cfg.epochs):
+            alpha = alpha_schedule(epoch, cfg)
+            perm = rng.permutation(train_ids)
+            tot, nb = 0.0, 0
+            for images, nodes in batcher.epoch(perm):
+                params, opt_state, metrics = step(
+                    params, opt_state, jnp.asarray(images),
+                    jnp.asarray(nodes), alpha)
+                tot += float(metrics["loss"])
+                nb += 1
+                it += 1
+                logger.log(it, {k: float(v) for k, v in metrics.items()})
+                if cfg.val_every and it % cfg.val_every == 0:
+                    vl = validate(params, alpha)
+                    logger.log(it, {"val_loss": vl}, force_print=True)
+                    if vl < best_val:
+                        best_val = vl
+                        best_params = jax.tree.map(lambda x: x, params)
+                        if ckpt is not None:
+                            ckpt.save("clip_finetune_best",
+                                      {"params": best_params, "step": it},
+                                      metadata={"val_loss": best_val})
+            val_loss = validate(params, alpha)
+            history["train_loss"].append(tot / max(nb, 1))
+            history["val_loss"].append(val_loss)
+            logger.log(it, {"epoch": epoch + 1,
+                            "train_loss": tot / max(nb, 1),
+                            "val_loss": val_loss, "alpha": alpha},
+                       force_print=True)
+            if val_loss < best_val:
+                best_val = val_loss
+                best_params = jax.tree.map(lambda x: x, params)
+                if ckpt is not None:
+                    ckpt.save("clip_finetune_best",
+                              {"params": best_params, "step": it},
+                              metadata={"val_loss": best_val,
+                                        "epoch": epoch + 1})
+    finally:
+        batcher.close()
     return best_params, history

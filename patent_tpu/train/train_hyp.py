@@ -206,10 +206,15 @@ def make_batches(td: TrainingData, indices: np.ndarray, batch_size: int,
 
 
 def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
-                    cfg: HypTrainConfig):
+                    cfg: HypTrainConfig, num_real_labels: int | None = None):
     """Build the jitted step.  ``x_figures`` / ``implication`` / ``exclusion``
     are jit ARGUMENTS (device-resident), never closure constants — closed-over
-    arrays are baked into the HLO and can overflow compile payload limits."""
+    arrays are baked into the HLO and can overflow compile payload limits.
+
+    ``num_real_labels``: when the label table is zero-padded to a mesh-axis
+    multiple for row sharding (parallel/sharded_train.py), pass the real row
+    count so the dist0-band regularizer ignores the padding — the loss then
+    equals the unpadded single-device loss exactly."""
     c = cfg.curvature
 
     def loss_fn(params, batch_arrays, key, x_figures, implication, exclusion,
@@ -244,7 +249,8 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
             label_emb, implication, exclusion, c)
         hierarchical_loss = inside + disjoint
 
-        label_reg, instance_reg = dist0_band_regularizers(label_emb, encoded, c)
+        label_reg, instance_reg = dist0_band_regularizers(
+            label_emb, encoded, c, num_valid_labels=num_real_labels)
         reg_loss = label_reg + instance_reg
 
         d_pair = poincare.dist(encoded, partner_enc, c)
@@ -284,6 +290,13 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
         return metrics
 
     return train_step, eval_step
+
+
+def _rng_state_bytes(rng: np.random.Generator) -> np.ndarray:
+    """numpy Generator state as a uint8 JSON-bytes array (checkpoint leaf)."""
+    import json
+    return np.frombuffer(
+        json.dumps(rng.bit_generator.state).encode(), np.uint8).copy()
 
 
 def _batch_arrays(b: HypBatch):
@@ -338,6 +351,19 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
     val_idx = usable[perm[n_train:n_train + n_val]]
     test_idx = usable[perm[n_train + n_val:]]
 
+    # mAP validation mode (reference legacy trainer validates with
+    # evaluate_retrieval mAP rather than loss, train.py:2264)
+    fig_pos: dict[int, list[int]] = {}
+    num_patents = 0
+    if cfg.validate_with == "map":
+        for f, p in td.y_pos.tolist():
+            fig_pos.setdefault(int(f), []).append(int(p))
+        num_patents = (td.label_offsets["medium_cpcs"]
+                       - td.label_offsets["patents"])
+    elif cfg.validate_with != "loss":
+        raise ValueError(f"validate_with must be 'loss' or 'map', "
+                         f"got {cfg.validate_with!r}")
+
     key = jax.random.key(cfg.seed)
     best_val = float("inf")
     best_params = params
@@ -355,6 +381,20 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         step = int(saved["step"])
         start_epoch = int(saved["epoch"]) + 1
         best_val = float(saved.get("best_val", best_val))
+        # the restored params are the best candidate we actually hold — never
+        # leave best_params at the random init (a resumed run that never beats
+        # the saved best_val would otherwise return untrained params)
+        best_params = params
+        patience_left = int(saved.get("patience_left", patience_left))
+        # bit-reproducible resume: restore the host batch RNG and the jax
+        # dropout key stream so epoch k+1 after resume equals epoch k+1 of an
+        # uninterrupted run exactly
+        if "rng_state" in saved:
+            import json
+            rng.bit_generator.state = json.loads(
+                bytes(np.asarray(saved["rng_state"], np.uint8)).decode())
+        if "key_data" in saved:
+            key = jax.random.wrap_key_data(jnp.asarray(saved["key_data"]))
         logger.log(step, {"resumed_from_epoch": start_epoch - 1},
                    force_print=True)
     for epoch in range(start_epoch, cfg.epochs + 1):
@@ -402,13 +442,21 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
 
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)
+        log_extra = {}
+        if cfg.validate_with == "map":
+            from .evaluate import evaluate_retrieval_map
+            val_map = evaluate_retrieval_map(
+                model, params, np.asarray(td.x_figures), val_idx.tolist(),
+                fig_pos, num_patents)
+            history.setdefault("val_map", []).append(val_map)
+            # negate: the selection below minimizes
+            val_loss = -val_map
+            log_extra["val_map"] = val_map
         logger.log(step, {"epoch": epoch, "train_loss": train_loss,
-                          "val_loss": val_loss}, force_print=True)
+                          "val_loss": val_loss, **log_extra},
+                   force_print=True)
 
-        if ckpt is not None:
-            ckpt.save("latest", {"params": params, "opt_state": opt_state,
-                                 "step": step, "epoch": epoch,
-                                 "best_val": best_val})
+        early_stop = False
         if val_loss < best_val:
             best_val = val_loss
             best_params = jax.tree.map(lambda x: x, params)
@@ -422,9 +470,23 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
                           metadata={"val_loss": best_val, "epoch": epoch})
         else:
             patience_left -= 1
-            if patience_left <= 0:
-                logger.log(step, {"early_stop_epoch": epoch}, force_print=True)
-                break
+            early_stop = patience_left <= 0
+        if ckpt is not None:
+            # saved AFTER the best/patience update so a resume sees this
+            # epoch's final state; rng_state + key_data make the resumed RNG
+            # streams continue bit-exactly
+            ckpt.save("latest", {"params": params, "opt_state": opt_state,
+                                 "step": step, "epoch": epoch,
+                                 "best_val": best_val,
+                                 "patience_left": patience_left,
+                                 # JSON-bytes: PCG64 state holds 128-bit ints
+                                 # that cannot be numpy array leaves
+                                 "rng_state": _rng_state_bytes(rng),
+                                 "key_data": np.asarray(
+                                     jax.random.key_data(key))})
+        if early_stop:
+            logger.log(step, {"early_stop_epoch": epoch}, force_print=True)
+            break
 
     history["test_indices"] = test_idx.tolist()
     return best_params, history

@@ -21,6 +21,61 @@ def _np_tree(tree: Any) -> Any:
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _path_spec(path) -> list:
+    """Encode a tree_flatten_with_path key path as JSON: each segment is
+    ["d", key] (dict), ["s", idx] (sequence), or ["a", name] (attr /
+    NamedTuple field — not losslessly reconstructible, see _rebuild)."""
+    spec = []
+    for k in path:
+        if isinstance(k, jax.tree_util.DictKey):
+            spec.append(["d", str(k.key)])
+        elif isinstance(k, jax.tree_util.SequenceKey):
+            spec.append(["s", int(k.idx)])
+        else:  # GetAttrKey / FlattenedIndexKey
+            spec.append(["a", str(getattr(k, "name", getattr(k, "key", k)))])
+    return spec
+
+
+def _rebuild(paths: list, leaves: list) -> Any:
+    """Reassemble nested dicts/lists from path specs.  Any top-level group
+    whose subtree contains an attr segment (custom pytree node, e.g. an optax
+    state NamedTuple) is returned as the flat LIST of its leaves in flatten
+    order instead — the container type is gone, but leaf order is exact, so
+    ``tree_unflatten(tree_structure(my_state), tree_leaves(group))``
+    reconstructs it losslessly."""
+    if not paths:
+        return {}
+    root: dict = {}
+    # group by first segment (states are always saved as a top-level dict)
+    groups: dict[str, list] = {}
+    for p, leaf in zip(paths, leaves):
+        groups.setdefault(p[0][1], []).append((p[1:], leaf))
+    for key, items in groups.items():
+        if len(items) == 1 and not items[0][0]:
+            root[key] = items[0][1]
+        elif any(seg[0] == "a" for p, _ in items for seg in p):
+            root[key] = [leaf for _, leaf in items]
+        else:
+            node: dict = {}
+            for p, leaf in items:
+                cur = node
+                for seg in p[:-1]:
+                    cur = cur.setdefault(seg[1], {})
+                cur[p[-1][1]] = leaf
+            root[key] = _lists_from_int_keys(node)
+    return root
+
+
+def _lists_from_int_keys(node):
+    """Convert {0: a, 1: b} dicts (from sequence keys) back into lists."""
+    if not isinstance(node, dict):
+        return node
+    out = {k: _lists_from_int_keys(v) for k, v in node.items()}
+    if out and all(isinstance(k, int) for k in out):
+        return [out[i] for i in sorted(out)]
+    return out
+
+
 class CheckpointManager:
     """Minimal, dependency-light checkpointing (orbax used when available,
     npz-tree fallback otherwise — this environment's orbax works, but the
@@ -36,10 +91,18 @@ class CheckpointManager:
             self._ckptr = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------- npz tree
-    def _flatten(self, tree: Any) -> dict[str, np.ndarray]:
-        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
-        return {jax.tree_util.keystr(path): np.asarray(leaf)
-                for path, leaf in flat}
+    # On-disk fallback format (no pickle — loading a checkpoint never
+    # executes code, so untrusted checkpoint files are data, not a RCE
+    # vector):
+    #   state.npz       leaf arrays keyed L00000, L00001, ... in pytree
+    #                   flatten order
+    #   manifest.json   {"paths": [keystr per leaf], "n": count}
+    # ``restore`` rebuilds nested dicts/lists from the key paths; subtrees
+    # containing custom nodes (e.g. optax NamedTuple states) come back as a
+    # flat leaf LIST in exact flatten order — callers that need the original
+    # container types re-unflatten with their own treedef (see
+    # train_hyp.py resume), which only needs leaf order, and that is
+    # preserved exactly.
 
     def save(self, name: str, state: dict[str, Any],
              metadata: dict | None = None) -> str:
@@ -50,16 +113,13 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
         else:
             os.makedirs(path, exist_ok=True)
-            np.savez_compressed(os.path.join(path, "state.npz"),
-                                **self._flatten(state))
-            structure = jax.tree_util.tree_structure(state)
-            with open(os.path.join(path, "treedef.json"), "w") as f:
-                json.dump({"treedef": str(structure)}, f)
-            # also store with pickle for exact restoration
-            import pickle
-
-            with open(os.path.join(path, "state.pkl"), "wb") as f:
-                pickle.dump(_np_tree(state), f)
+            flat = jax.tree_util.tree_flatten_with_path(state)[0]
+            arrays = {f"L{i:05d}": np.asarray(leaf)
+                      for i, (_, leaf) in enumerate(flat)}
+            np.savez_compressed(os.path.join(path, "state.npz"), **arrays)
+            with open(os.path.join(path, "manifest.json"), "w") as f:
+                json.dump({"paths": [_path_spec(p) for p, _ in flat],
+                           "n": len(flat)}, f)
         if metadata is not None:
             with open(os.path.join(self.directory, f"{name}.meta.json"), "w") as f:
                 json.dump(metadata, f, indent=2)
@@ -69,10 +129,14 @@ class CheckpointManager:
         path = os.path.join(self.directory, name)
         if self.use_orbax:
             return self._ckptr.restore(os.path.abspath(path), target)
-        import pickle
-
-        with open(os.path.join(path, "state.pkl"), "rb") as f:
-            return pickle.load(f)
+        with np.load(os.path.join(path, "state.npz")) as npz:
+            with open(os.path.join(path, "manifest.json")) as f:
+                manifest = json.load(f)
+            leaves = [npz[f"L{i:05d}"] for i in range(manifest["n"])]
+        if target is not None:
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(target), leaves)
+        return _rebuild(manifest["paths"], leaves)
 
     def exists(self, name: str) -> bool:
         path = os.path.join(self.directory, name)

@@ -41,6 +41,10 @@ class HypTrainConfig:
     data_dir: str = "prepared_training_data"
     model_dir: str = "models"
     use_dropout: bool = True
+    # validation metric for best-checkpoint selection / early stopping:
+    # "loss" (this engine's default) or "map" — mean AP of ranking patent
+    # labels, like the reference legacy trainer (train.py:2264)
+    validate_with: str = "loss"
 
 
 @dataclasses.dataclass
@@ -99,6 +103,8 @@ class ClipFinetuneConfig:
     trainable_blocks: int = 9      # last 9 vision layers (cell 20)
     graph_proj_dim: int = 128
     val_every: int = 60            # batches (cell 20)
+    num_workers: int = 8           # decode threads (ref DataLoader 16-32,
+    # train.py:4292-4308; this host pipeline prefetches one batch ahead)
     seed: int = 42
     model_dir: str = "models/patent-wise"
 

@@ -25,6 +25,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-size-model tests (minutes on CPU)")
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -118,3 +118,40 @@ def test_u8_path_matches_f32_through_model(pngs):
     # uint8 rounding costs ≤ half an LSB of [0,1] pixel range
     np.testing.assert_allclose(np.asarray(y_u8), np.asarray(y_f32),
                                atol=5e-2, rtol=5e-2)
+
+
+def test_oversize_png_rejected_not_crashed(tmp_path):
+    """A crafted IHDR claiming near-2^31 dimensions must return an error
+    code (pixel cap, patent_io.cc decode_png), not overflow size
+    computations, allocate gigabytes, or terminate the process."""
+    import struct
+    import zlib
+
+    from patent_tpu.input.native import decode_image_native, native_available
+
+    if not native_available():
+        pytest.skip("native lib not built")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    for w, h in ((2**31 - 16, 8), (8, 2**31 - 16), (70000, 70000),
+                 (16384, 16384)):
+        ihdr = struct.pack(">IIBBBBB", w & 0xFFFFFFFF, h & 0xFFFFFFFF,
+                           8, 2, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+               + chunk(b"IEND", b""))
+        p = tmp_path / f"huge_{w}x{h}.png"
+        p.write_bytes(png)
+        out = decode_image_native(str(p), 32)
+        assert out is None   # rejected, process alive
+
+    # zero / negative dims are rejected too
+    ihdr = struct.pack(">IIBBBBB", 0, 10, 8, 2, 0, 0, 0)
+    p = tmp_path / "zero.png"
+    p.write_bytes(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                  + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+                  + chunk(b"IEND", b""))
+    assert decode_image_native(str(p), 32) is None

@@ -115,6 +115,49 @@ def test_vit_with_flash_flag_matches_without(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 
+def test_fused_attention_block_matches_xla(rng):
+    """The QKV+MHA+out-proj megakernel vs the unfused einsum chain."""
+    from patent_tpu.ops.flash_attention import fused_attention_block
+
+    b, s, h, hd = 2, 13, 4, 16
+    d = h * hd
+    x = jnp.asarray(rng.standard_normal((b, s, d)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    got = fused_attention_block(x, wqkv, bqkv, wout, bout, h, force=True)
+
+    qkv = x @ wqkv + bqkv
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    heads = lambda t: t.reshape(b, s, h, hd)  # noqa: E731
+    scale = 1.0 / np.sqrt(hd)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", heads(q) * scale, heads(k))
+    attn = jax.nn.softmax(attn.astype(jnp.float32), -1)
+    want = jnp.einsum("bhqk,bkhd->bqhd", attn,
+                      heads(v)).reshape(b, s, d) @ wout + bout
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-3, rtol=2e-2)
+
+
+def test_vit_with_fused_block_matches_without(rng):
+    """fused_block=True: identical param tree, identical output (CPU takes
+    the fallback path through flash_attention)."""
+    from patent_tpu.models.vit import VIT_TINY, VisionTransformer
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+    m1 = VisionTransformer(VIT_TINY)
+    params = m1.init(jax.random.key(0), x)
+    m2 = VisionTransformer(VIT_TINY, fused_block=True)
+    params2 = m2.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params2))
+    y1 = m1.apply(params, x)
+    y2 = m2.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
+
+
 def test_flash_attention_headbatch_matches_xla(rng):
     from patent_tpu.ops.flash_attention import flash_attention
 

@@ -180,6 +180,23 @@ def test_gyration_preserves_norm(rng):
                                rtol=1e-3)
 
 
+def test_gyration_matches_composition_definition(rng):
+    """The closed form equals gyr[u,v]w = ⊖(u⊕v) ⊕ (u ⊕ (v ⊕ w)) — the
+    defining identity.  (Norm preservation alone is NOT sufficient: a
+    sign-flipped variant is also an isometry and shipped in round 1.)"""
+    for c in (1.0, 2.0):
+        u = jnp.asarray(rand_ball(rng, 16, 8, scale=0.5) / np.sqrt(c),
+                        jnp.float32)
+        v = jnp.asarray(rand_ball(rng, 16, 8, scale=0.5) / np.sqrt(c),
+                        jnp.float32)
+        w = jnp.asarray(rand_ball(rng, 16, 8, scale=0.5) / np.sqrt(c),
+                        jnp.float32)
+        want = mobius_add(-mobius_add(u, v, c),
+                          mobius_add(u, mobius_add(v, w, c), c), c)
+        np.testing.assert_allclose(np.asarray(gyration(u, v, w, c)),
+                                   np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
 def test_ptransp_roundtrip(rng):
     """Transport x→y then y→x recovers the vector."""
     x = jnp.asarray(rand_ball(rng, 16, 8, scale=0.5), jnp.float32)

@@ -31,7 +31,8 @@ def live_server(tmp_path_factory):
 
     paths = sorted(os.path.join(images_dir, f) for f in os.listdir(images_dir))
     engine.encode_dataset(paths)
-    server = serve(engine, port=0, block=False)   # ephemeral port
+    server = serve(engine, port=0, block=False,   # ephemeral port
+                   data_root=images_dir)
     host, port = server.server_address
     yield f"http://{host}:{port}", engine, paths
     server.shutdown()
@@ -81,6 +82,28 @@ def test_search_by_image_path(live_server):
     status, body = _post(base + "/search", {"image_path": paths[0], "k": 2})
     assert status == 200
     assert len(body["results"][0]) == 2
+    # relative paths resolve against data_root
+    import os
+
+    status, body = _post(base + "/search",
+                         {"image_path": os.path.basename(paths[0]), "k": 2})
+    assert status == 200
+
+
+def test_image_path_disabled_without_data_root():
+    """With no data_root the image_path mode is off regardless of payload."""
+    from patent_tpu.retrieval.server import RetrievalService
+
+    class _FakeIndex:
+        def __len__(self):
+            return 1
+
+    class _FakeEngine:
+        index = _FakeIndex()
+
+    svc = RetrievalService(_FakeEngine())
+    out = svc.search({"image_path": "/etc/hostname"})
+    assert out["_status"] == 400 and "unavailable" in out["error"]
 
 
 def test_search_by_name_and_errors(live_server):
@@ -97,6 +120,14 @@ def test_search_by_name_and_errors(live_server):
     # missing file → 400
     status, body = _post(base + "/search", {"image_path": "/no/such.png"})
     assert status == 400
+    missing_err = body["error"]
+    # containment: a file that EXISTS outside data_root is refused with the
+    # SAME error as a missing one (no existence oracle)
+    status, body = _post(base + "/search",
+                         {"image_path": "../../../../etc/hostname"})
+    assert status == 400 and body["error"] == missing_err
+    status, body = _post(base + "/search", {"image_path": "/etc/hostname"})
+    assert status == 400 and body["error"] == missing_err
     # empty body → 400
     status, body = _post(base + "/search", {})
     assert status == 400

@@ -1,5 +1,6 @@
 """Sharded train_hyp step on the virtual mesh: numerical parity with the
-single-device step + sharding preservation."""
+single-device step + genuine sharding of BOTH corpus-sized arrays (the label
+table over ``model`` via zero-padding, the figure features over ``data``)."""
 
 import numpy as np
 import jax
@@ -12,10 +13,11 @@ from patent_tpu.data import (build_feature_matrix, build_hetero_graph,
 from patent_tpu.models.hyperbolic import HyperbolicEmbeddingModel
 from patent_tpu.parallel.sharded_train import (make_hyp_mesh,
                                                make_sharded_train_step,
+                                               pad_label_table,
                                                shard_hyp_state)
 from patent_tpu.train.optim import manifold_mask, riemannian_adam
-from patent_tpu.train.train_hyp import (HypBatch, _batch_arrays,
-                                        make_batches, make_train_step)
+from patent_tpu.train.train_hyp import (_batch_arrays, make_batches,
+                                        make_train_step)
 from patent_tpu.data.prep import figure_pair_maps
 from patent_tpu.utils.config import HypTrainConfig
 
@@ -30,8 +32,9 @@ def setup():
     td = prepare_training_data(graph, x, neg_ratio=3, fig_pair_ratio=2, seed=0)
     cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), curvature=1.0,
                          batch_size=16, num_neg_samples=1, use_dropout=False)
-    # pad the label table to a multiple of the model axis (2) so it shards
-    label_num = -(-td.num_labels // 2) * 2
+    # DELIBERATELY non-divisible label count: the sharded path must pad,
+    # never replicate
+    label_num = td.num_labels | 1   # odd → does not divide model_dim ∈ {2, 4}
     model = HyperbolicEmbeddingModel(
         feature_dim=16, embed_dim=8, label_num=label_num,
         hidden_dims=(16,), c=1.0)
@@ -42,56 +45,112 @@ def setup():
     maps = figure_pair_maps(td)
     batch = next(make_batches(td, np.asarray(sorted(maps[0])), 16, 1, rng,
                               maps))
-    return td, cfg, model, optimizer, params, opt_state, batch
+    return td, cfg, model, optimizer, params, opt_state, batch, label_num
 
 
-def test_sharded_step_matches_single_device(setup, eight_devices):
-    td, cfg, model, optimizer, params, opt_state, batch = setup
+@pytest.mark.parametrize("model_dim", [2, 4])
+def test_sharded_step_matches_single_device(setup, eight_devices, model_dim):
+    td, cfg, model, optimizer, params, opt_state, batch, label_num = setup
     x_figures = jnp.asarray(td.x_figures)
     implication = jnp.asarray(td.implication)
     exclusion = jnp.zeros((0, 2), jnp.int32)
     key = jax.random.key(7)
 
-    # single-device reference
+    # single-device reference (unpadded table)
     step, _ = make_train_step(model, optimizer, cfg)
     p1, s1, m1 = step(params, opt_state, _batch_arrays(batch), key,
                       x_figures, implication, exclusion)
 
-    # sharded: 4 data × 2 model
-    mesh = make_hyp_mesh(8, model_dim=2, devices=eight_devices)
+    # sharded mesh with a PADDED table (label_num is odd → real padding)
+    mesh = make_hyp_mesh(8, model_dim=model_dim, devices=eight_devices)
+    pp, pos, real, padded = pad_label_table(params, opt_state, model_dim)
+    assert real == label_num and padded > real and padded % model_dim == 0
+    model_p = HyperbolicEmbeddingModel(
+        feature_dim=16, embed_dim=8, label_num=padded,
+        hidden_dims=(16,), c=1.0)   # flax validates declared param shapes
     sstep, place_batch, place_static = make_sharded_train_step(
-        mesh, model, optimizer, cfg)
-    sp, sopt = shard_hyp_state(mesh, params, opt_state)
+        mesh, model_p, optimizer, cfg, num_real_labels=real)
+    sp, sopt = shard_hyp_state(mesh, pp, pos)
     sx, simp, sexc = place_static(x_figures, implication, exclusion)
     sb = place_batch(_batch_arrays(batch))
     p2, s2, m2 = sstep(sp, sopt, sb, key, sx, simp, sexc)
 
-    # losses identical, updated label tables identical
+    # losses identical, updated label tables identical on the real rows,
+    # padded rows untouched at the origin
     assert float(m1["total_loss"]) == pytest.approx(float(m2["total_loss"]),
                                                     rel=1e-5)
     np.testing.assert_allclose(np.asarray(p1["label_emb"]),
-                               np.asarray(p2["label_emb"]),
+                               np.asarray(p2["label_emb"])[:real],
                                atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p2["label_emb"])[real:], 0.0)
 
 
-def test_label_table_stays_sharded(setup, eight_devices):
-    td, cfg, model, optimizer, params, opt_state, batch = setup
+def test_corpus_arrays_actually_sharded(setup, eight_devices):
+    """The two corpus-sized arrays live sharded, not replicated: label table
+    rows over ``model`` (after padding), figure features over ``data``."""
+    td, cfg, model, optimizer, params, opt_state, batch, label_num = setup
     mesh = make_hyp_mesh(8, model_dim=2, devices=eight_devices)
-    sp, sopt = shard_hyp_state(mesh, params, opt_state)
+    pp, pos, real, padded = pad_label_table(params, opt_state, 2)
+    sp, sopt = shard_hyp_state(mesh, pp, pos)
     sharding = sp["label_emb"].sharding
     assert isinstance(sharding, NamedSharding)
     assert sharding.spec == P("model")
-    # after a step, sharding is preserved (XLA keeps the layout)
+
+    model_p = HyperbolicEmbeddingModel(
+        feature_dim=16, embed_dim=8, label_num=padded,
+        hidden_dims=(16,), c=1.0)
     sstep, place_batch, place_static = make_sharded_train_step(
-        mesh, model, optimizer, cfg)
+        mesh, model_p, optimizer, cfg, num_real_labels=real)
     sx, simp, sexc = place_static(td.x_figures, td.implication,
                                   np.zeros((0, 2), np.int32))
+    # x_figures is row-sharded over data (padded to the axis if needed)
+    assert sx.sharding.spec == P("data")
+    assert sx.shape[0] % mesh.shape["data"] == 0
+    # per-device memory: each device holds 1/data of the rows
+    shard_rows = {s.data.shape[0] for s in sx.addressable_shards}
+    assert shard_rows == {sx.shape[0] // mesh.shape["data"]}
+
     sb = place_batch(_batch_arrays(batch))
     p2, _s2, _m2 = sstep(sp, sopt, sb, jax.random.key(0), sx, simp, sexc)
-    spec2 = p2["label_emb"].sharding.spec
-    # either preserved as model-sharded or at minimum still a NamedSharding
     assert isinstance(p2["label_emb"].sharding, NamedSharding)
-    assert spec2 in (P("model"), P("model", None))
+    assert p2["label_emb"].sharding.spec in (P("model"), P("model", None))
+
+
+def test_unpadded_table_refused(setup, eight_devices):
+    """shard_hyp_state refuses a non-divisible table instead of silently
+    replicating it."""
+    _td, _cfg, _model, _optimizer, params, opt_state, _b, label_num = setup
+    if label_num % 2 == 0:
+        pytest.skip("fixture table unexpectedly even")
+    mesh = make_hyp_mesh(8, model_dim=2, devices=eight_devices)
+    with pytest.raises(ValueError, match="pad_label_table"):
+        shard_hyp_state(mesh, params, opt_state)
+
+
+def test_per_host_input_sharding(setup):
+    """Multi-host input simulation: shard_paths_per_host gives disjoint,
+    covering shards, and per-host batch streams draw only from the host's
+    shard (the pod input recipe: each host decodes its slice)."""
+    from patent_tpu.input.pipeline import shard_paths_per_host
+    from patent_tpu.train.train_hyp import PackedSupervision, \
+        make_batches_packed
+
+    td = setup[0]
+    packed = PackedSupervision(td)
+    figures = [int(f) for f in packed.usable]
+    shards = [shard_paths_per_host(figures, h, 4) for h in range(4)]
+    assert sum(len(s) for s in shards) == len(figures)
+    assert set().union(*[set(s) for s in shards]) == set(figures)
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not set(shards[a]) & set(shards[b])
+    # per-host batches contain only the host's own figures
+    for h, shard in enumerate(shards):
+        rng = np.random.default_rng(h)
+        slots = packed.slots_for(np.asarray(shard))
+        for batch in make_batches_packed(packed, slots, 8, 1, rng):
+            n = int(batch.valid.sum())
+            assert set(batch.figure_idx[:n].tolist()) <= set(shard)
 
 
 def test_mesh_validation(eight_devices):

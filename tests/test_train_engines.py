@@ -184,21 +184,61 @@ def test_pca_whiten_shapes():
 
 
 def test_train_hyp_true_resume(prepared, tmp_path):
-    """Resume restores optimizer state + epoch and continues training."""
+    """Resume is BIT-REPRODUCIBLE: interrupt-at-2 + resume-to-4 equals an
+    uninterrupted 4-epoch run exactly (params, losses), because the latest
+    checkpoint carries the numpy batch-RNG state and the jax key stream."""
+    _, _, _, td = prepared
+    from patent_tpu.train.train_hyp import train_hyperbolic_retrieval
+
+    # reference run: 4 epochs uninterrupted
+    cfg4 = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=4,
+                          batch_size=32, curvature=1.0, patience=10)
+    ref_params, ref_hist = train_hyperbolic_retrieval(
+        td, cfg4, logger=quiet_logger(),
+        ckpt=CheckpointManager(str(tmp_path / "ref")))
+
+    cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=2,
+                         batch_size=32, curvature=1.0, patience=10)
+    ckpt = CheckpointManager(str(tmp_path / "resumed"))
+    _p, hist_a = train_hyperbolic_retrieval(td, cfg, logger=quiet_logger(),
+                                            ckpt=ckpt)
+    assert ckpt.exists("latest")
+    # resume with a larger epoch budget: continues from epoch 3
+    params_b, hist_b = train_hyperbolic_retrieval(
+        td, cfg4, logger=quiet_logger(), ckpt=ckpt, resume=True)
+    assert len(hist_b["train_loss"]) == 2  # epochs 3 and 4 only
+    # first two epochs agree between the runs (same seed)
+    np.testing.assert_array_equal(ref_hist["train_loss"][:2],
+                                  hist_a["train_loss"])
+    # resumed epochs 3-4 equal the uninterrupted run's epochs 3-4 EXACTLY
+    np.testing.assert_array_equal(ref_hist["train_loss"][2:],
+                                  hist_b["train_loss"])
+    np.testing.assert_array_equal(ref_hist["val_loss"][2:],
+                                  hist_b["val_loss"])
+    # and the final best params are identical leaf-for-leaf
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_params),
+            jax.tree_util.tree_leaves_with_path(params_b)):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_hyp_map_validation(prepared, tmp_path):
+    """validate_with='map' selects the best checkpoint on retrieval mAP
+    (reference legacy trainer protocol, train.py:2264)."""
     _, _, _, td = prepared
     from patent_tpu.train.train_hyp import train_hyperbolic_retrieval
 
     cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=2,
-                         batch_size=32, curvature=1.0, patience=10)
-    ckpt = CheckpointManager(str(tmp_path))
-    train_hyperbolic_retrieval(td, cfg, logger=quiet_logger(), ckpt=ckpt)
-    assert ckpt.exists("latest")
-    # resume with a larger epoch budget: continues from epoch 3
-    cfg2 = HypTrainConfig(embed_dim=8, hidden_dims=(16,), epochs=4,
-                          batch_size=32, curvature=1.0, patience=10)
-    _params, history = train_hyperbolic_retrieval(
-        td, cfg2, logger=quiet_logger(), ckpt=ckpt, resume=True)
-    assert len(history["train_loss"]) == 2  # epochs 3 and 4 only
+                         batch_size=32, curvature=1.0, patience=10,
+                         validate_with="map")
+    _params, history = train_hyperbolic_retrieval(td, cfg,
+                                                  logger=quiet_logger())
+    assert len(history["val_map"]) == 2
+    assert all(0.0 <= m <= 1.0 for m in history["val_map"])
+    with pytest.raises(ValueError):
+        train_hyperbolic_retrieval(
+            td, HypTrainConfig(validate_with="nope"), logger=quiet_logger())
 
 
 def test_early_stopping_class():

@@ -102,9 +102,16 @@ def test_vit_bf16_close_to_f32():
     y32 = m32.apply(params, x)
     m16 = VisionTransformer(VIT_TINY, dtype=jnp.bfloat16)
     y16 = m16.apply(params, x)
-    # bf16 compute, f32 params: small drift only
-    rel = np.abs(np.asarray(y16) - np.asarray(y32)) / (np.abs(np.asarray(y32)) + 1e-3)
-    assert float(rel.mean()) < 0.05
+    # bf16 compute, f32 params: small drift relative to the feature SCALE
+    # (random-init projections are near zero, so per-element relative error
+    # is noise-dominated; normalize by the RMS feature magnitude instead)
+    a32, a16 = np.asarray(y32), np.asarray(y16)
+    rms = float(np.sqrt(np.mean(a32 ** 2)))
+    assert float(np.mean(np.abs(a16 - a32))) / rms < 0.02
+    # and directions agree per row
+    cos = np.sum(a16 * a32, -1) / (np.linalg.norm(a16, axis=-1)
+                                   * np.linalg.norm(a32, axis=-1))
+    assert cos.min() > 0.999
 
 
 def test_text_transformer_eos_pooling():
@@ -227,3 +234,49 @@ def test_shard_paths_per_host():
     all_paths = sorted(p for s in shards for p in s)
     assert all_paths == sorted(paths)
     assert shards[0] == ["p0", "p3", "p6", "p9"]
+
+
+def test_pair_batcher_matches_serial(image_dir, tmp_path):
+    """PairBatcher (threaded + prefetch) yields exactly what the serial
+    per-pair decode would: same images, same node indices, failed pairs
+    dropped whole."""
+    from patent_tpu.input.pipeline import PairBatcher
+
+    _root, paths = image_dir
+    anchors, positives = [], []
+    for p, figs in paths.items():
+        for i in range(len(figs) - 1):
+            anchors.append(figs[i])
+            positives.append(figs[i + 1])
+    # one broken pair: the anchor decodes, the positive does not
+    bad = str(tmp_path / "broken.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png")
+    anchors.append(paths[0][0])
+    positives.append(bad)
+    node_idx = np.arange(len(anchors), dtype=np.int32)
+
+    # epoch order puts the broken pair (last index) FIRST so it lands inside
+    # an emitted batch rather than the dropped tail
+    order = [len(anchors) - 1] + list(range(len(anchors) - 1))
+    with PairBatcher(anchors, positives, node_idx, batch_size=4,
+                     image_size=32, num_workers=3) as batcher:
+        got = list(batcher.epoch(order))
+    # 10 pairs total, 1 broken; batch 1 drops the broken pair → 3 pairs,
+    # batch 2 full (tail beyond 2 full batches dropped, like the train loop)
+    assert len(got) == 2
+    assert got[0][0].shape == (6, 32, 32, 3)
+    assert got[1][0].shape == (8, 32, 32, 3)
+    for images, nodes in got:
+        b = nodes.shape[0]
+        assert images.shape[0] == 2 * b
+        for row, idx in enumerate(nodes):
+            want_a = decode_image(anchors[int(idx)], 32)
+            want_p = decode_image(positives[int(idx)], 32)
+            np.testing.assert_allclose(images[row], want_a, atol=2e-2)
+            np.testing.assert_allclose(images[b + row], want_p, atol=2e-2)
+    # short epoch (< batch_size) still yields one batch
+    with PairBatcher(anchors, positives, node_idx, batch_size=64,
+                     image_size=32, num_workers=2) as batcher:
+        short = list(batcher.epoch([0, 1, 2]))
+    assert len(short) == 1 and short[0][1].shape[0] == 3
