@@ -48,8 +48,18 @@ def hashing_tokenizer(vocab_size: int = 49408, context_length: int = 77
 
 def clip_tokenizer_or_fallback(checkpoint_dir: str | None,
                                config: TextConfig = TEXT_B):
-    """HF CLIP tokenizer from a local checkpoint when available."""
+    """Real CLIP BPE from a local checkpoint when available.
+
+    Preference order: (1) the framework's own byte-level BPE engine
+    (data/bpe.py, byte-identical to HF — tests/test_bpe.py) over the
+    checkpoint's vocab.json/merges.txt, (2) ``CLIPTokenizerFast`` for
+    checkpoints that only ship tokenizer.json, (3) the hashing fallback."""
     if checkpoint_dir:
+        from .bpe import load_clip_bpe
+
+        bpe = load_clip_bpe(checkpoint_dir, config.context_length)
+        if bpe is not None:
+            return bpe
         try:
             from transformers import CLIPTokenizerFast
 

@@ -6,10 +6,18 @@ MXU executes int8 at twice the bf16 rate — with
 
 * per-output-channel symmetric weight scales (static, from the f32 params),
 * per-token dynamic activation scales (abs-max / 127, computed on the fly),
-* f32 accumulation/rescale epilogue that XLA fuses into the matmul.
+* the whole quantize→matmul→dequant(+gelu) sequence fused into one Pallas
+  program per M-tile (``ops/quant_matmul``); the transformer MLP runs as a
+  single kernel whose [M, mlp_dim] hidden tensor never leaves VMEM.
 
-Patch embedding, layernorms, softmax, and the final projection stay in
-bf16/f32: they are a tiny FLOP fraction and quantizing them costs accuracy.
+At the plain-XLA level the int8 MXU win is unreachable (dynamic-quant and
+dequant passes round-trip activations through HBM and measure no faster
+than bf16); the Pallas fusion is what delivers it — measured **5,762 vs
+3,048 img/s (1.89×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
+cosine 0.9997 vs the bf16 tower (softmax-pass elimination in
+``quant_matmul._attn_sublayer_f32`` accounts for the step past 5.1k).  Patch
+embedding, layernorms, softmax, and the final projection stay in bf16/f32:
+they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;
 feature fidelity is validated in tests (cosine > 0.99 vs the f32 model).
 """
@@ -21,85 +29,100 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from .vit import VIT_B16, VisionConfig, quick_gelu
+from ..ops.quant_matmul import (quant_attention_block, quant_dense,
+                                quant_layer_block, quant_mlp_block,
+                                quantize_weight)
+from .vit import VIT_B16, VisionConfig
 
-
-def _quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """[in, out] f32 → (int8 weights, [out] f32 scales), symmetric per-channel."""
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return q, scale.astype(jnp.float32)
+_quantize_weight = quantize_weight  # back-compat alias
 
 
 def int8_dense(x: jax.Array, w_q: jax.Array, w_scale: jax.Array,
                bias: jax.Array | None) -> jax.Array:
-    """Dynamic per-token int8 activation quant + int8 MXU matmul + rescale."""
-    a_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
-                          1e-8) / 127.0
-    x_q = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        x_q, w_q, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * a_scale.astype(jnp.float32) * w_scale
-    if bias is not None:
-        out = out + bias
-    return out.astype(x.dtype)
+    """Dynamic per-token int8 activation quant + int8 MXU matmul + rescale
+    (fused Pallas kernel on TPU, identical XLA math elsewhere)."""
+    return quant_dense(x, w_q, w_scale, bias)
+
+
+class _LNParams(nn.Module):
+    """nn.LayerNorm's exact param tree (scale/bias, ones/zeros init) with no
+    computation — the fused block kernels consume the raw vectors."""
+
+    @nn.compact
+    def __call__(self, d: int) -> tuple[jax.Array, jax.Array]:
+        return (self.param("scale", nn.initializers.ones, (d,)),
+                self.param("bias", nn.initializers.zeros, (d,)))
+
+
+class _AttnParams(nn.Module):
+    """Param container with Int8Attention's exact subtree (qkv_w/qkv_s/...)
+    but no computation — Int8Block consumes the raw tensors for the
+    whole-layer fused kernel."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        return (self.param("qkv_w", nn.initializers.zeros, (d, 3 * d),
+                           jnp.int8),
+                self.param("qkv_s", nn.initializers.ones, (3 * d,)),
+                self.param("qkv_b", nn.initializers.zeros, (3 * d,)),
+                self.param("out_w", nn.initializers.zeros, (d, d), jnp.int8),
+                self.param("out_s", nn.initializers.ones, (d,)),
+                self.param("out_b", nn.initializers.zeros, (d,)))
 
 
 class Int8Attention(nn.Module):
+    """Standalone pre-LN attention sub-layer (LN + qkv/out int8 projections
+    + residual) as ONE fused Pallas kernel (``quant_attention_block``).
+    Int8Block uses the whole-layer kernel instead; this module exists for
+    sub-layer-level use and shares the same param subtree."""
+
     num_heads: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln_scale: jax.Array,
+                 ln_bias: jax.Array,
+                 valid_len: int | None = None) -> jax.Array:
         d = x.shape[-1]
-        head_dim = d // self.num_heads
         wq = self.param("qkv_w", nn.initializers.zeros, (d, 3 * d), jnp.int8)
         sq = self.param("qkv_s", nn.initializers.ones, (3 * d,))
         bq = self.param("qkv_b", nn.initializers.zeros, (3 * d,))
         wo = self.param("out_w", nn.initializers.zeros, (d, d), jnp.int8)
         so = self.param("out_s", nn.initializers.ones, (d,))
         bo = self.param("out_b", nn.initializers.zeros, (d,))
-
-        qkv = int8_dense(x, wq, sq, bq)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(t):
-            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
-
-        q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / np.sqrt(head_dim)
-        attn = jnp.einsum("...qhd,...khd->...hqk", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("...hqk,...khd->...qhd", attn, v)
-        out = out.reshape(*out.shape[:-2], d)
-        return int8_dense(out, wo, so, bo)
+        return quant_attention_block(x, ln_scale, ln_bias, wq, sq, bq,
+                                     wo, so, bo, self.num_heads,
+                                     valid_len=valid_len)
 
 
 class Int8Block(nn.Module):
+    """One transformer layer = ONE fused kernel (``quant_layer_block``):
+    attention + MLP sub-layers with both residuals; all four int8 weight
+    matrices stay VMEM-resident and the residual stream touches HBM once."""
+
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(self.dtype)
-        x = x + Int8Attention(self.num_heads, dtype=self.dtype, name="attn")(h)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(self.dtype)
+    def __call__(self, x: jax.Array,
+                 valid_len: int | None = None) -> jax.Array:
+        d = x.shape[-1]
+        ln1_s, ln1_b = _LNParams(name="ln1")(d)
+        wq, sq, bq, wo, so, bo = _AttnParams(name="attn")(d)
+        ln2_s, ln2_b = _LNParams(name="ln2")(d)
         w1 = self.param("mlp_in_w", nn.initializers.zeros,
-                        (x.shape[-1], self.mlp_dim), jnp.int8)
+                        (d, self.mlp_dim), jnp.int8)
         s1 = self.param("mlp_in_s", nn.initializers.ones, (self.mlp_dim,))
         b1 = self.param("mlp_in_b", nn.initializers.zeros, (self.mlp_dim,))
         w2 = self.param("mlp_out_w", nn.initializers.zeros,
-                        (self.mlp_dim, x.shape[-1]), jnp.int8)
-        s2 = self.param("mlp_out_s", nn.initializers.ones, (x.shape[-1],))
-        b2 = self.param("mlp_out_b", nn.initializers.zeros, (x.shape[-1],))
-        h = int8_dense(h, w1, s1, b1)
-        h = quick_gelu(h)
-        h = int8_dense(h, w2, s2, b2)
-        return x + h
+                        (self.mlp_dim, d), jnp.int8)
+        s2 = self.param("mlp_out_s", nn.initializers.ones, (d,))
+        b2 = self.param("mlp_out_b", nn.initializers.zeros, (d,))
+        return quant_layer_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so, bo,
+                                 ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
+                                 self.num_heads, valid_len=valid_len)
 
 
 class Int8VisionTransformer(nn.Module):
@@ -126,9 +149,17 @@ class Int8VisionTransformer(nn.Module):
                          (cfg.num_patches + 1, cfg.hidden_dim))
         x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
+        # pad the token axis ONCE for the whole stack (int8 sublane tile =
+        # 32); each block masks pad keys via valid_len, and the CLS row
+        # (index 0) is always valid — saves a pad+slice copy of the
+        # [B, S, D] stream per layer
+        seq = x.shape[1]
+        seq_pad = -(-max(seq, 32) // 32) * 32
+        if seq_pad != seq:
+            x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
         for i in range(cfg.num_layers):
             x = Int8Block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
-                          name=f"block_{i}")(x)
+                          name=f"block_{i}")(x, valid_len=seq)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="projection")(x)

@@ -1,0 +1,610 @@
+"""Fused dynamic-quantization int8 matmul kernels (Pallas, TPU).
+
+The v5e MXU executes int8×int8→int32 at twice its bf16 rate (measured on
+this chip: 347 vs 173 TF/s sustained at ViT-B/16 shapes).  At the XLA level
+that win is unreachable for dynamically quantized activations: the
+per-token abs-max + round + cast pass and the int32→f32 dequant epilogue
+each materialize full activation tensors to HBM, and the measured end-to-end
+rate (~150-190 TF/s) is no better than bf16.  These kernels fuse the whole
+sequence —
+
+    per-row abs-max → int8 quantize → int8 MXU matmul → ×(row_scale ·
+    col_scale) dequant → +bias → [activation] → bf16 store
+
+— into ONE Pallas program per M-tile, with the int8 weight resident in VMEM
+across the grid (constant index_map), so HBM sees only: x read, w read
+(once), out write.
+
+Two entry points:
+
+* ``quant_dense``  — one dense layer, optional fused quick-gelu.
+* ``quant_mlp``    — a whole transformer MLP (dense→quick_gelu→dense); the
+  [M, mlp_dim] hidden tensor lives ONLY in VMEM.  For ViT-B/16 at batch 128
+  the XLA path writes+reads 155 MB of hidden activations per layer to HBM;
+  here that traffic is zero.
+
+Weights are pre-quantized symmetrically per output channel
+(``quantize_weight``); activations are quantized per row (token) on the fly
+inside the kernel — the same semantics as ``models/vit_int8.int8_dense``,
+kept numerically identical so the XLA path doubles as the CPU fallback and
+the correctness oracle (tests/test_quant_matmul.py).
+
+Replaces the serving-side hot loop of the reference's CLIP encode
+(`/root/reference/notebooks/retrieval.ipynb` cell 2,
+``model.get_image_features`` over the gallery) — the reference runs it in
+full precision on CUDA; this is the TPU-native quantized twin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[in, out] float → (int8 weight, [out] f32 scale), symmetric per-channel."""
+    w = w.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def _quant_rows(xf: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f32 [M, K] → (int8 [M, K], f32 [M, 1] scale); per-row symmetric."""
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8)
+    scale = amax * (1.0 / 127.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+_NEG_1702_LOG2E = float(-1.702 * np.log2(np.e))
+
+
+def _quick_gelu(g: jax.Array) -> jax.Array:
+    """``g · sigmoid(1.702 g)`` written as ``g / (1 + exp2(−1.702·log2e·g))``.
+
+    Mathematically identical, but Mosaic lowers ``jax.nn.sigmoid`` through
+    an expensive logistic chain — the explicit exp2 form measures 2.1
+    μs/img/layer faster inside the MLP kernel on v5e (7.9 → 5.75, within
+    0.2 of the no-gelu floor); output differs from the sigmoid form by ≤1
+    int8 LSB after requantization."""
+    return g / (1.0 + jnp.exp2(_NEG_1702_LOG2E * g))
+
+
+def _apply_act(out: jax.Array, act: str | None) -> jax.Array:
+    if act == "quick_gelu":
+        return _quick_gelu(out)
+    if act is not None:
+        raise ValueError(f"unknown activation {act!r}")
+    return out
+
+
+# --------------------------------------------------------------------- dense
+
+def _qdense_kernel(x_ref, w_ref, ws_ref, b_ref, o_ref, *, act):
+    xf = x_ref[...].astype(jnp.float32)
+    xq, scale = _quant_rows(xf)
+    acc = jax.lax.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * scale * ws_ref[...] + b_ref[...]
+    o_ref[...] = _apply_act(out, act).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m_tile", "act", "out_dtype"))
+def _qdense_2d(x, w_i8, w_scale, bias, m_tile, act, out_dtype):
+    m, k = x.shape
+    n = w_i8.shape[1]
+    return pl.pallas_call(
+        functools.partial(_qdense_kernel, act=act),
+        grid=(m // m_tile,),
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * 2 + k * n + m * n * 2,
+            transcendentals=m * n if act else 0),
+    )(x, w_i8, w_scale.reshape(1, -1), bias.reshape(1, -1))
+
+
+def quant_dense(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
+                bias: jax.Array | None = None, act: str | None = None,
+                m_tile: int = 256, force: bool = False) -> jax.Array:
+    """``act_fn((quant(x) @ w_i8) · scales + bias)`` with on-the-fly per-row
+    activation quantization fused into an int8 MXU matmul.
+
+    x: [..., K] (bf16/f32); w_i8: [K, N] int8; w_scale: [N]; bias: [N]|None.
+    Returns [..., N] in x.dtype.  Off-TPU falls back to the numerically
+    identical XLA path.
+    """
+    *lead, k = x.shape
+    n = w_i8.shape[1]
+    if bias is None:
+        bias = jnp.zeros((n,), jnp.float32)
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        xf = x.astype(jnp.float32)
+        xq, scale = _quant_rows(xf)
+        acc = jax.lax.dot_general(
+            xq, w_i8, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * scale * w_scale + bias
+        return _apply_act(out, act).astype(x.dtype)
+
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    mp = _round_up(max(m, m_tile), m_tile)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    out = _qdense_2d(x2, w_i8, w_scale.astype(jnp.float32),
+                     bias.astype(jnp.float32), m_tile, act,
+                     jnp.dtype(x.dtype).name)
+    return out[:m].reshape(*lead, n)
+
+
+# ----------------------------------------------------------------------- mlp
+
+def _qmlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                 o_ref):
+    xf = x_ref[...].astype(jnp.float32)
+    xq, xs = _quant_rows(xf)
+    acc1 = jax.lax.dot(xq, w1_ref[...], preferred_element_type=jnp.int32)
+    h = acc1.astype(jnp.float32) * xs * s1_ref[...] + b1_ref[...]
+    h = _quick_gelu(h)
+    hq, hs = _quant_rows(h)
+    acc2 = jax.lax.dot(hq, w2_ref[...], preferred_element_type=jnp.int32)
+    out = acc2.astype(jnp.float32) * hs * s2_ref[...] + b2_ref[...]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m_tile", "out_dtype"))
+def _qmlp_2d(x, w1, s1, b1, w2, s2, b2, m_tile, out_dtype):
+    m, k = x.shape
+    h = w1.shape[1]
+    n = w2.shape[1]
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _qmlp_kernel,
+        grid=(m // m_tile,),
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((k, h)), const((1, h)), const((1, h)),
+            const((h, n)), const((1, n)), const((1, n)),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * h + 2 * m * h * n,
+            bytes_accessed=m * k * 2 + k * h + h * n + m * n * 2,
+            transcendentals=m * h),
+    )(x, w1, s1.reshape(1, -1), b1.reshape(1, -1),
+      w2, s2.reshape(1, -1), b2.reshape(1, -1))
+
+
+def quant_mlp(x: jax.Array, w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
+              w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
+              m_tile: int = 256, force: bool = False) -> jax.Array:
+    """Whole transformer MLP ``dense→quick_gelu→dense`` as one kernel; the
+    [M, mlp_dim] hidden tensor never leaves VMEM.
+
+    x: [..., K]; w1_i8: [K, H] int8; w2_i8: [H, K'] int8; scales/biases per
+    output channel.  Returns [..., K'] in x.dtype.
+    """
+    *lead, k = x.shape
+    n = w2_i8.shape[1]
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        # f32-throughout fallback, mirroring the kernel exactly (h never
+        # drops to x.dtype between the two matmuls)
+        xf = x.astype(jnp.float32)
+        xq, xs = _quant_rows(xf)
+        acc1 = jax.lax.dot_general(
+            xq, w1_i8, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        h = acc1.astype(jnp.float32) * xs * s1 + b1
+        h = _quick_gelu(h)
+        hq, hs = _quant_rows(h)
+        acc2 = jax.lax.dot_general(
+            hq, w2_i8, dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc2.astype(jnp.float32) * hs * s2 + b2
+        return out.astype(x.dtype)
+
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    mp = _round_up(max(m, m_tile), m_tile)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    out = _qmlp_2d(x2, w1_i8, s1.astype(jnp.float32), b1.astype(jnp.float32),
+                   w2_i8, s2.astype(jnp.float32), b2.astype(jnp.float32),
+                   m_tile, jnp.dtype(x.dtype).name)
+    return out[:m].reshape(*lead, n)
+
+
+# ------------------------------------------------- fused transformer blocks
+#
+# One transformer layer = TWO kernels.  Each fuses LayerNorm + the quantized
+# matmuls + the residual add, so per layer the residual stream is the ONLY
+# activation tensor that touches HBM (x read + x' write per kernel).  The
+# XLA path additionally materializes the LN output, the [S, 3D] QKV tensor,
+# head-major transposes, [H, S, S] softmax, the attention output, and the
+# [S, mlp_dim] hidden — an order of magnitude more traffic.
+
+def _layernorm_f32(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                   eps: float = 1e-5) -> jax.Array:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _qattn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
+                        bqkv_ref, wout_ref, sout_ref, bout_ref, o_ref, *,
+                        seq_len: int, num_heads: int, head_dim: int):
+    """One batch element: x + out_proj(MHA(qkv_proj(LN(x)))), projections on
+    the int8 MXU, softmax in f32, everything in VMEM."""
+    x = x_ref[0].astype(jnp.float32)                       # [Sp, D]
+    out = _attn_sublayer_f32(x, lns_ref[...], lnb_ref[...], wqkv_ref,
+                             sqkv_ref[...], bqkv_ref[...], wout_ref,
+                             sout_ref[...], bout_ref[...], seq_len,
+                             num_heads, head_dim)
+    o_ref[0] = (x + out).astype(o_ref.dtype)
+
+
+def _attn_sublayer_f32(x, lns, lnb, wqkv_ref, sqkv, bqkv, wout_ref, sout,
+                       bout, seq_len: int, num_heads: int, head_dim: int):
+    """Shared in-VMEM attention sub-layer body (pre-residual output).
+
+    Softmax is reduced to ONE elementwise pass over each [S, S] score tile
+    (VPU work is what dominates this kernel — ablation: full 7.7 vs
+    no-softmax 3.0 μs/img/layer on v5e):
+
+    * the 1/sqrt(head_dim) score scale and the log2(e) factor that turns
+      exp into the VPU-native ``exp2`` are folded into the q-columns of the
+      int8 DEQUANT scale/bias vectors — zero per-score cost;
+    * no running/max subtraction: scores are clamped at +80 and fed to
+      exp2 directly.  Safe because exp2(80)≈1.2e24, so the f32 denominator
+      (≤ S·2^80 ≈ 2^88) and the p·v accumulator stay far below f32 max;
+      scores this large never occur for real LN'd inputs anyway — the
+      clamp only guards junk pad-row queries;
+    * the key-pad MASK and the DENOMINATOR both ride the p·v MXU matmul
+      instead of costing VPU passes: pad rows of V are zeroed and a 0/1
+      valid-key column is appended to V, so ``o_ext = p @ [V·m | m]``
+      yields the masked numerator and exact masked denominator in one dot
+      ([S, head_dim+1] divide afterwards, S× cheaper than a [S, S] pass).
+
+    The remaining VPU work per head is just exp2(min(s, 80)) + the bf16
+    cast, which Mosaic fuses into one pass.  The bf16 rounding of p affects
+    numerator and denominator identically, so softmax weights keep ~3
+    decimal digits — same as the explicit-sum variant it replaced.
+    """
+    h = _layernorm_f32(x, lns, lnb)
+    hq, hs = _quant_rows(h)
+    d = num_heads * head_dim
+    sp = x.shape[0]
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+    colid = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    qcol = colid < d                                  # fold scale into q
+    sqkv = jnp.where(qcol, sqkv * scale, sqkv)
+    bqkv = jnp.where(qcol, bqkv * scale, bqkv)
+    qkv = (jax.lax.dot(hq, wqkv_ref[...],
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+           * hs * sqkv + bqkv)                             # [Sp, 3D] f32
+    qkv16 = qkv.astype(jnp.bfloat16)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    valid = (rowi < seq_len).astype(jnp.bfloat16)          # [Sp, 1]
+    heads = []
+    for i in range(num_heads):
+        lo = i * head_dim
+        q = qkv16[:, lo:lo + head_dim]
+        k = qkv16[:, d + lo:d + lo + head_dim]
+        v = qkv16[:, 2 * d + lo:2 * d + lo + head_dim]
+        v_ext = jnp.concatenate([v * valid, valid], axis=1)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(jnp.minimum(s, 80.0)).astype(jnp.bfloat16)
+        o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+        heads.append(o_ext[:, :head_dim] / o_ext[:, head_dim:head_dim + 1])
+    ao = jnp.concatenate(heads, axis=1)                    # [Sp, D] f32
+    aq, ascale = _quant_rows(ao)
+    return (jax.lax.dot(aq, wout_ref[...],
+                        preferred_element_type=jnp.int32).astype(jnp.float32)
+            * ascale * sout + bout)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "out_dtype"))
+def _qattn_block_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
+                      seq_len, num_heads, head_dim, out_dtype):
+    b, sp, d = x.shape
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 3 * d + 4 * sp * sp * d + 2 * sp * d * d)
+    return pl.pallas_call(
+        functools.partial(_qattn_block_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[xspec, const(lns.shape), const(lnb.shape),
+                  const(wqkv.shape), const(sqkv.shape), const(bqkv.shape),
+                  const(wout.shape), const(sout.shape), const(bout.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * 2 * b * sp * d + 4 * d * d,
+            transcendentals=b * num_heads * sp * sp),
+    )(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+
+
+def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
+                          ln_bias: jax.Array, wqkv_i8: jax.Array,
+                          sqkv: jax.Array, bqkv: jax.Array,
+                          wout_i8: jax.Array, sout: jax.Array,
+                          bout: jax.Array, num_heads: int,
+                          valid_len: int | None = None,
+                          force: bool = False) -> jax.Array:
+    """Fused ``x + out_proj(MHA(qkv_proj(LayerNorm(x))))`` — the whole
+    pre-LN attention sub-layer (residual included) as one Pallas kernel with
+    int8 projections.
+
+    x: [B, S, D]; wqkv_i8: [D, 3D] int8 (+[3D] scale/bias); wout_i8: [D, D]
+    int8 (+[D] scale/bias); ln_scale/ln_bias: [D].
+
+    ``valid_len``: when the caller keeps the token axis PRE-PADDED across a
+    whole transformer stack (pad once before block 0, slice after the last
+    block — saves a pad copy + slice copy of the [B, S, D] stream per
+    layer), pass the true sequence length here; S must then be a multiple
+    of 32 (int8 sublane tile).  Rows ≥ valid_len are masked as attention
+    KEYS (queries in the pad region produce bounded junk that the caller
+    discards).
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        h = _layernorm_f32(x.astype(jnp.float32), ln_scale, ln_bias)
+        qkv = quant_dense(h, wqkv_i8, sqkv, bqkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def to_heads(t):
+            return t.reshape(b, s, num_heads, head_dim)
+
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q / np.sqrt(head_dim), k)
+        if valid_len is not None and valid_len < s:
+            key_ok = jnp.arange(s) < valid_len
+            attn = jnp.where(key_ok[None, None, None, :], attn, -1e30)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        ao = jnp.einsum("bhqk,bkhd->bqhd", attn, v.astype(jnp.float32))
+        ao = ao.reshape(b, s, d)
+        return x + quant_dense(ao, wout_i8, sout, bout).astype(x.dtype)
+
+    if valid_len is None:
+        sp = _round_up(max(s, 32), 32)   # int8 rows need 32-sublane tiles
+        xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        seq_len = s
+    else:
+        if s % 32 != 0:
+            raise ValueError(f"pre-padded S={s} must be a multiple of 32")
+        xp, seq_len = x, valid_len
+    out = _qattn_block_impl(
+        xp, ln_scale.reshape(1, -1).astype(jnp.float32),
+        ln_bias.reshape(1, -1).astype(jnp.float32), wqkv_i8,
+        sqkv.reshape(1, -1).astype(jnp.float32),
+        bqkv.reshape(1, -1).astype(jnp.float32), wout_i8,
+        sout.reshape(1, -1).astype(jnp.float32),
+        bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
+        head_dim, jnp.dtype(x.dtype).name)
+    return out if valid_len is not None else out[:, :s, :]
+
+
+def _mlp_sublayer_f32(x, lns, lnb, w1_ref, s1, b1, w2_ref, s2, b2):
+    """Shared in-VMEM MLP sub-layer body (pre-residual output)."""
+    h = _layernorm_f32(x, lns, lnb)
+    hq, hs = _quant_rows(h)
+    acc1 = jax.lax.dot(hq, w1_ref[...], preferred_element_type=jnp.int32)
+    g = acc1.astype(jnp.float32) * hs * s1 + b1
+    g = _quick_gelu(g)
+    gq, gs = _quant_rows(g)
+    acc2 = jax.lax.dot(gq, w2_ref[...], preferred_element_type=jnp.int32)
+    return acc2.astype(jnp.float32) * gs * s2 + b2
+
+
+def _qmlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
+                       w2_ref, s2_ref, b2_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    out = _mlp_sublayer_f32(x, lns_ref[...], lnb_ref[...], w1_ref,
+                            s1_ref[...], b1_ref[...], w2_ref, s2_ref[...],
+                            b2_ref[...])
+    o_ref[...] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("m_tile", "out_dtype"))
+def _qmlp_block_2d(x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile, out_dtype):
+    m, k = x.shape
+    h = w1.shape[1]
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        _qmlp_block_kernel,
+        grid=(m // m_tile,),
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, k)), const((1, k)),
+            const((k, h)), const((1, h)), const((1, h)),
+            const((h, k)), const((1, k)), const((1, k)),
+        ],
+        out_specs=pl.BlockSpec((m_tile, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k * h,
+            bytes_accessed=2 * m * k * 2 + 2 * k * h,
+            transcendentals=m * h),
+    )(x, lns, lnb, w1, s1.reshape(1, -1), b1.reshape(1, -1),
+      w2, s2.reshape(1, -1), b2.reshape(1, -1))
+
+
+def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
+                    w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
+                    w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
+                    m_tile: int = 256, force: bool = False) -> jax.Array:
+    """Fused ``x + mlp(LayerNorm(x))`` (dense→quick_gelu→dense, residual
+    included) as one Pallas kernel with int8 matmuls; the [M, mlp_dim]
+    hidden lives only in VMEM."""
+    *lead, k = x.shape
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        h = _layernorm_f32(x.astype(jnp.float32), ln_scale, ln_bias)
+        return x + quant_mlp(h, w1_i8, s1, b1, w2_i8, s2, b2).astype(x.dtype)
+
+    m = int(np.prod(lead)) if lead else 1
+    x2 = x.reshape(m, k)
+    mp = _round_up(max(m, m_tile), m_tile)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    out = _qmlp_block_2d(
+        x2, ln_scale.reshape(1, -1).astype(jnp.float32),
+        ln_bias.reshape(1, -1).astype(jnp.float32), w1_i8,
+        s1.astype(jnp.float32), b1.astype(jnp.float32), w2_i8,
+        s2.astype(jnp.float32), b2.astype(jnp.float32), m_tile,
+        jnp.dtype(x.dtype).name)
+    return out[:m].reshape(*lead, k)
+
+
+# --------------------------------------------------- whole-layer fused block
+
+def _qlayer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, sqkv_ref, bqkv_ref,
+                   wout_ref, sout_ref, bout_ref, ln2s_ref, ln2b_ref, w1_ref,
+                   s1_ref, b1_ref, w2_ref, s2_ref, b2_ref, o_ref, *,
+                   seq_len: int, num_heads: int, head_dim: int):
+    x = x_ref[0].astype(jnp.float32)
+    x = x + _attn_sublayer_f32(x, ln1s_ref[...], ln1b_ref[...], wqkv_ref,
+                               sqkv_ref[...], bqkv_ref[...], wout_ref,
+                               sout_ref[...], bout_ref[...], seq_len,
+                               num_heads, head_dim)
+    out = _mlp_sublayer_f32(x, ln2s_ref[...], ln2b_ref[...], w1_ref,
+                            s1_ref[...], b1_ref[...], w2_ref, s2_ref[...],
+                            b2_ref[...])
+    o_ref[0] = (x + out).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "out_dtype"))
+def _qlayer_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wout, sout, bout, ln2s,
+                 ln2b, w1, s1, b1, w2, s2, b2, seq_len, num_heads, head_dim,
+                 out_dtype):
+    b, sp, d = x.shape
+    mlp_dim = w1.shape[1]
+    xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 3 * d + 4 * sp * sp * d + 2 * sp * d * d
+                 + 4 * sp * d * mlp_dim)
+    return pl.pallas_call(
+        functools.partial(_qlayer_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[xspec,
+                  const(ln1s.shape), const(ln1b.shape),
+                  const(wqkv.shape), const(sqkv.shape), const(bqkv.shape),
+                  const(wout.shape), const(sout.shape), const(bout.shape),
+                  const(ln2s.shape), const(ln2b.shape),
+                  const(w1.shape), const(s1.shape), const(b1.shape),
+                  const(w2.shape), const(s2.shape), const(b2.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * 2 * b * sp * d + 4 * d * d + 2 * d * mlp_dim,
+            transcendentals=b * (num_heads * sp * sp + sp * mlp_dim)),
+    )(x, ln1s, ln1b, wqkv, sqkv, bqkv, wout, sout, bout, ln2s, ln2b,
+      w1, s1, b1, w2, s2, b2)
+
+
+def quant_layer_block(x: jax.Array,
+                      ln1_scale: jax.Array, ln1_bias: jax.Array,
+                      wqkv_i8: jax.Array, sqkv: jax.Array, bqkv: jax.Array,
+                      wout_i8: jax.Array, sout: jax.Array, bout: jax.Array,
+                      ln2_scale: jax.Array, ln2_bias: jax.Array,
+                      w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
+                      w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
+                      num_heads: int, valid_len: int | None = None,
+                      force: bool = False) -> jax.Array:
+    """One WHOLE pre-LN transformer layer (attention sub-layer + MLP
+    sub-layer, both residuals) as a single Pallas program per batch element:
+    all four int8 weight matrices stay VMEM-resident across the grid and the
+    residual stream touches HBM once per layer instead of twice.
+
+    x: [B, S, D] with S a multiple of 32 when ``valid_len`` is given (see
+    quant_attention_block for the pre-padded-stream contract).
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    if not (_HAS_PALLAS and (_on_tpu() or force)):
+        x = quant_attention_block(x, ln1_scale, ln1_bias, wqkv_i8, sqkv,
+                                  bqkv, wout_i8, sout, bout, num_heads,
+                                  valid_len=valid_len)
+        return quant_mlp_block(x, ln2_scale, ln2_bias, w1_i8, s1, b1,
+                               w2_i8, s2, b2)
+
+    if valid_len is None:
+        sp = _round_up(max(s, 32), 32)
+        xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+        seq_len = s
+    else:
+        if s % 32 != 0:
+            raise ValueError(f"pre-padded S={s} must be a multiple of 32")
+        xp, seq_len = x, valid_len
+
+    def row(v):
+        return v.reshape(1, -1).astype(jnp.float32)
+
+    out = _qlayer_impl(xp, row(ln1_scale), row(ln1_bias), wqkv_i8,
+                       row(sqkv), row(bqkv), wout_i8, row(sout), row(bout),
+                       row(ln2_scale), row(ln2_bias), w1_i8, row(s1),
+                       row(b1), w2_i8, row(s2), row(b2), seq_len, num_heads,
+                       head_dim, jnp.dtype(x.dtype).name)
+    return out if valid_len is not None else out[:, :s, :]

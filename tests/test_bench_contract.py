@@ -21,7 +21,8 @@ def test_bench_json_schema(monkeypatch, capsys):
     """main() prints exactly one JSON line with metric/value/unit/vs_baseline."""
     bench = load_bench()
     monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
-    monkeypatch.setattr(bench, "bench_embed", lambda *a, **k: 3000.0)
+    monkeypatch.setattr(bench, "bench_embed", lambda *a, **k: {
+        "bf16": 3000.0, "int8": 3000.0, "int8_cosine_min": 0.9997})
     monkeypatch.setattr(bench, "bench_topk", lambda *a, **k: 8000.0)
     monkeypatch.setattr(bench, "bench_recall_parity", lambda *a, **k: 1.0)
     monkeypatch.setattr(bench, "bench_hyp_train", lambda *a, **k: 450.0)

@@ -78,6 +78,16 @@ def test_retrieve_action(tmp_path, capsys):
     assert len([l for l in out.splitlines() if ".png" in l]) >= 3
 
 
+def test_retrieve_action_quantized(tmp_path, capsys):
+    """--quantize serves the int8 PTQ encoder through the same engine."""
+    rc = run_cli(["retrieve", "--path", str(tmp_path), "--synthetic",
+                  "--quantize", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "int8-quantized" in out
+    assert len([l for l in out.splitlines() if ".png" in l]) >= 3
+
+
 def test_eval_with_real_corpus_split(tmp_path):
     """--path with metadata.json + images/: the CLI splits with the
     reference protocol and evaluates."""

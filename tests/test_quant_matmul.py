@@ -1,0 +1,148 @@
+"""Fused int8 quant-matmul kernel parity tests (interpret mode on CPU).
+
+The XLA fallback inside each entry point is the numerical oracle: on TPU the
+Pallas kernel runs instead, and these tests pin kernel↔fallback parity via
+``force_tpu_interpret_mode``.  The attention kernels deviate from the
+fallback's textbook softmax by design (score clamp instead of max-subtract;
+mask+denominator folded into the p·v matmul with p rounded to bf16), so
+their tolerance is the bf16 rounding floor, not exactness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from patent_tpu.ops import quant_matmul as qm
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    if not qm._HAS_PALLAS:
+        pytest.skip("pallas unavailable")
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _mk_weights(rng, k, n, wscale=0.05):
+    w = jnp.asarray(rng.standard_normal((k, n)) * wscale, jnp.float32)
+    wq, s = qm.quantize_weight(w)
+    b = jnp.asarray(rng.standard_normal(n) * 0.01, jnp.float32)
+    return wq, s, b
+
+
+def test_quant_dense_kernel_matches_fallback(rng):
+    x = jnp.asarray(rng.standard_normal((100, 128)), jnp.float32)
+    wq, s, b = _mk_weights(rng, 128, 256)
+    got = qm.quant_dense(x, wq, s, b, m_tile=64, force=True)
+    want = qm.quant_dense(x, wq, s, b)          # fallback (off-TPU, no force)
+    # M=100 is not a multiple of m_tile=64 → exercises the pad+slice path
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_quant_dense_gelu_and_dtype(rng):
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
+    wq, s, b = _mk_weights(rng, 128, 128)
+    got = qm.quant_dense(x, wq, s, b, act="quick_gelu", m_tile=64, force=True)
+    want = qm.quant_dense(x, wq, s, b, act="quick_gelu")
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_quant_dense_approximates_f32_matmul(rng):
+    """Dynamic per-row int8 quantization error stays in the ~1% band."""
+    x = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((64, 48)) * 0.1, jnp.float32)
+    wq, s = qm.quantize_weight(w)
+    got = np.asarray(qm.quant_dense(x, wq, s, None))
+    want = np.asarray(x @ w)
+    rel = np.abs(got - want) / (np.abs(want) + 1e-2)
+    assert float(np.mean(rel)) < 0.05
+
+
+def test_quant_mlp_kernel_matches_fallback(rng):
+    x = jnp.asarray(rng.standard_normal((80, 128)), jnp.float32)
+    w1, s1, b1 = _mk_weights(rng, 128, 256)
+    w2, s2, b2 = _mk_weights(rng, 256, 128)
+    got = qm.quant_mlp(x, w1, s1, b1, w2, s2, b2, m_tile=64, force=True)
+    want = qm.quant_mlp(x, w1, s1, b1, w2, s2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+
+
+def _attn_inputs(rng, b=2, s=50, d=128, scale=0.3):
+    x = jnp.asarray(rng.standard_normal((b, s, d)) * scale, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    wqkv, sqkv, bqkv = _mk_weights(rng, d, 3 * d)
+    wout, sout, bout = _mk_weights(rng, d, d)
+    return x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout
+
+
+def test_quant_attention_block_kernel_matches_fallback(rng):
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    got = np.asarray(qm.quant_attention_block(x, *args, num_heads=4,
+                                              force=True))
+    want = np.asarray(qm.quant_attention_block(x, *args, num_heads=4))
+    # bf16 p-rounding + clamp-softmax: ~3 decimal digits on attention weights
+    denom = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / denom < 2e-2
+    np.testing.assert_allclose(got, want, atol=denom * 2e-2)
+
+
+def test_quant_attention_block_valid_len_prepad_contract(rng):
+    """Pre-padded S + valid_len == pad-per-call on the true-length input."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, s=50)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    xp = jnp.pad(x, ((0, 0), (0, 64 - 50), (0, 0)))
+    got = np.asarray(qm.quant_attention_block(
+        xp, *args, num_heads=4, valid_len=50, force=True))[:, :50]
+    want = np.asarray(qm.quant_attention_block(x, *args, num_heads=4,
+                                               force=True))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-2)
+
+
+def test_quant_attention_block_valid_len_requires_tile_multiple(rng):
+    x = jnp.zeros((1, 50, 128), jnp.float32)
+    lns = jnp.ones((128,)); lnb = jnp.zeros((128,))
+    wqkv = jnp.zeros((128, 384), jnp.int8)
+    wout = jnp.zeros((128, 128), jnp.int8)
+    v3 = jnp.zeros((384,)); v1 = jnp.zeros((128,))
+    with pytest.raises(ValueError, match="multiple of 32"):
+        qm.quant_attention_block(x, lns, lnb, wqkv, v3, v3, wout, v1, v1,
+                                 num_heads=4, valid_len=50, force=True)
+
+
+def test_quant_layer_block_kernel_matches_fallback(rng):
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng)
+    d = 128
+    ln2s = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+    ln2b = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    w1, s1, b1 = _mk_weights(rng, d, 256)
+    w2, s2, b2 = _mk_weights(rng, 256, d)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
+            ln2s, ln2b, w1, s1, b1, w2, s2, b2)
+    got = np.asarray(qm.quant_layer_block(x, *args, num_heads=4, force=True))
+    want = np.asarray(qm.quant_layer_block(x, *args, num_heads=4))
+    denom = np.max(np.abs(want))
+    assert np.max(np.abs(got - want)) / denom < 2e-2
+
+
+def test_quant_mlp_block_kernel_matches_fallback(rng):
+    d = 128
+    x = jnp.asarray(rng.standard_normal((3, 40, d)) * 0.3, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    w1, s1, b1 = _mk_weights(rng, d, 256)
+    w2, s2, b2 = _mk_weights(rng, 256, d)
+    got = qm.quant_mlp_block(x, lns, lnb, w1, s1, b1, w2, s2, b2,
+                             m_tile=64, force=True)
+    want = qm.quant_mlp_block(x, lns, lnb, w1, s1, b1, w2, s2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
