@@ -274,7 +274,8 @@ def main(argv: list[str] | None = None) -> int:
         image_size = _gallery_image_size(gallery_dir)
         encode = _build_encoder(args, image_size)
         engine = RetrievalEngine(encode, batch_size=32,
-                                 image_size=image_size, num_workers=4)
+                                 image_size=image_size, num_workers=4,
+                                 input_dtype="u8")
         prefix = os.path.join(args.path, "embeddings",
                               f"index_{os.path.basename(gallery_dir)}")
         if os.path.exists(prefix + ".npy"):

@@ -52,14 +52,18 @@ def _build_encoder(args, image_size: int):
     if getattr(args, "quantize", False):
         # int8 PTQ serving path: same params, quantized once at load time,
         # executed by the fused dynamic-quant kernels (ops/quant_matmul) —
-        # measured 5,762 vs 3,048 img/s on v5e, min feature cosine 0.9997
+        # measured 5,797 vs 3,048 img/s on v5e, min feature cosine 0.9997
         from ..models.vit_int8 import Int8VisionTransformer, quantize_vit_params
 
         model = Int8VisionTransformer(config, dtype=jnp.bfloat16)
         params = {"params": quantize_vit_params(params["params"])}
         print("serving int8-quantized encoder")
-    apply_jit = jax.jit(model.apply)   # params as ARGUMENT (never a closure)
-    return lambda batch: apply_jit(params, batch)
+    # device-side normalization: the engine feeds raw uint8 batches
+    # (input_dtype="u8" below) — 4× less host→device transfer, and the
+    # normalize fuses into the patch-embed conv
+    from .engine import make_device_normalizing_encoder
+
+    return make_device_normalizing_encoder(model.apply, params)
 
 
 def _corpus(args, image_size: int):
@@ -144,7 +148,7 @@ def run_retrieval_action(action: str, args) -> int:
     image_size = _gallery_image_size(gallery_dir)
     encode = _build_encoder(args, image_size)
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
-                             num_workers=4)
+                             num_workers=4, input_dtype="u8")
     prefix = os.path.join(args.path, "embeddings",
                           f"index_{os.path.basename(gallery_dir)}")
 

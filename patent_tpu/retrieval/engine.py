@@ -24,29 +24,45 @@ from .index import EmbeddingIndex, Similarity
 
 def make_device_normalizing_encoder(apply_fn, params):
     """Encoder accepting uint8 RGB batches: (x/255 − mean)/std happens ON
-    DEVICE inside the jit — pairs with input.native.decode_batch_native_u8
-    for 4× less host→device transfer (params are jit ARGUMENTS)."""
+    DEVICE inside the jit — pairs with ``ImageBatcher(out_dtype="u8")`` /
+    input.native.decode_batch_native_u8 for 4× less host→device transfer
+    (params are jit ARGUMENTS).  float32 batches pass through unnormalized
+    (assumed pre-normalized), so the same encoder serves both input modes —
+    the jit specializes per dtype."""
     from ..input.pipeline import CLIP_MEAN, CLIP_STD
 
     mean = jnp.asarray(CLIP_MEAN)
     inv_std = jnp.asarray(1.0 / CLIP_STD)
 
     @jax.jit
-    def encode_u8(params, batch_u8):
-        x = (batch_u8.astype(jnp.float32) / 255.0 - mean) * inv_std
-        return apply_fn(params, x)
+    def encode(params, batch):
+        if batch.dtype == jnp.uint8:
+            batch = (batch.astype(jnp.float32) / 255.0 - mean) * inv_std
+        return apply_fn(params, batch)
 
-    return lambda batch_u8: encode_u8(params, batch_u8)
+    return lambda batch: encode(params, batch)
 
 
 def make_scan_encoder(apply_fn, params):
     """Build a [k, B, ...] → [k, B, D] megabatch encoder: jitted lax.scan
     over ``apply_fn`` with params passed as a jit ARGUMENT (never a closure
     constant — closed-over weights bloat the HLO past remote-compile limits).
+
+    Accepts float32 (pre-normalized) OR uint8 batches: uint8 input is
+    CLIP-normalized on device inside the jit (the jit specializes on input
+    dtype), pairing with ``ImageBatcher(out_dtype="u8")`` for 4× less
+    host→device transfer.
     """
+    from ..input.pipeline import CLIP_MEAN, CLIP_STD
+
+    mean = jnp.asarray(CLIP_MEAN)
+    inv_std = jnp.asarray(1.0 / CLIP_STD)
+
     @jax.jit
     def scan_encode(params, batches):
         def body(_, b):
+            if b.dtype == jnp.uint8:   # normalize per scan step (fuses into
+                b = (b.astype(jnp.float32) / 255.0 - mean) * inv_std  # the conv)
             return None, apply_fn(params, b)
         _, outs = jax.lax.scan(body, None, batches)
         return outs
@@ -69,11 +85,22 @@ class RetrievalEngine:
                  image_size: int = 224,
                  similarity: Similarity = "cosine", c: float = 1.0,
                  mesh=None, scan_batches: int = 1,
-                 encode_many_fn: Callable[[jax.Array], jax.Array] | None = None):
+                 encode_many_fn: Callable[[jax.Array], jax.Array] | None = None,
+                 input_dtype: str = "f32"):
         """``encode_many_fn``: optional [k, B, H, W, 3] → [k, B, D] megabatch
         encoder (e.g. a jitted lax.scan over the model apply with params as
         arguments — see make_scan_encoder).  Amortizes per-dispatch overhead
-        on high-latency device links; used when ``scan_batches > 1``."""
+        on high-latency device links; used when ``scan_batches > 1``.
+
+        ``input_dtype``: "u8" feeds raw uint8 RGB batches and normalizes on
+        device — 4× less host→device transfer, which is the encode
+        bottleneck at production rates (measured on this link: 63 img/s f32
+        vs 154 u8 wire-limited; the reference normalizes on host workers,
+        retrieval.ipynb cell 2 — on TPU the normalize fuses into the patch
+        conv for free).  The default "f32" feeds host-normalized batches.
+        ``encode_fn`` must accept the chosen dtype: make_scan_encoder and
+        make_device_normalizing_encoder handle u8; a bare ``model.apply``
+        jit needs f32 — hence u8 is opt-in."""
         self.encode_fn = encode_fn
         self.batch_size = batch_size
         self.image_size = image_size
@@ -83,6 +110,9 @@ class RetrievalEngine:
         self.mesh = mesh
         self.scan_batches = max(1, scan_batches)
         self._scan_encode = encode_many_fn
+        if input_dtype not in ("f32", "u8"):
+            raise ValueError(f"input_dtype must be 'f32'|'u8', {input_dtype}")
+        self.input_dtype = input_dtype
         if self.scan_batches > 1 and encode_many_fn is None:
             raise ValueError("scan_batches > 1 requires encode_many_fn "
                              "(build one with make_scan_encoder)")
@@ -94,7 +124,8 @@ class RetrievalEngine:
         """Decode+encode images; returns (embeddings [N, D], kept paths)."""
         batcher = ImageBatcher(image_paths, batch_size=self.batch_size,
                                image_size=self.image_size,
-                               num_workers=self.num_workers)
+                               num_workers=self.num_workers,
+                               out_dtype=self.input_dtype)
         embs, names = [], []
         pending: list[tuple[np.ndarray, list[str], int]] = []
 

@@ -85,6 +85,56 @@ def test_batcher_fixed_shapes_and_skip(image_dir, tmp_path):
     assert total_valid == len(paths)  # corrupt file skipped, others kept
 
 
+def test_batcher_u8_mode_matches_f32(image_dir):
+    """out_dtype="u8" yields raw uint8 RGB whose device-side normalization
+    equals the f32 batcher's host-side normalization (bit-level: both paths
+    round through the same uint8 decode)."""
+    root, _ = image_dir
+    paths = list_images(str(root))
+    f32 = list(ImageBatcher(paths, batch_size=8, image_size=32, num_workers=2))
+    u8 = list(ImageBatcher(paths, batch_size=8, image_size=32, num_workers=2,
+                           out_dtype="u8"))
+    assert len(f32) == len(u8)
+    for (bf, nf, vf), (bu, nu, vu) in zip(f32, u8):
+        assert bu.dtype == np.uint8 and bf.dtype == np.float32
+        assert nf == nu and vf == vu
+        renorm = (bu[:vu].astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        # the u8 path rounds the resized pixel to uint8 before device
+        # normalization; the f32 path never does — bound is half a u8 step
+        # over the smallest CLIP std (0.5/255/0.2613 ≈ 7.5e-3)
+        np.testing.assert_allclose(renorm, bf[:vf], atol=8e-3)
+
+
+def test_engine_u8_input_mode_same_rankings(image_dir, tmp_path):
+    """input_dtype="u8" + device-normalizing encoder reproduces the f32
+    pipeline's rankings (the production serving configuration)."""
+    from patent_tpu.retrieval.engine import make_device_normalizing_encoder
+
+    root, patents = image_dir
+    model = VisionTransformer(VIT_TINY)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    enc_f32 = jax.jit(lambda b: model.apply(params, b))
+    enc_u8 = make_device_normalizing_encoder(model.apply, params)
+
+    gallery = [p for fig in patents.values() for p in fig[1:]]
+    queries = [fig[0] for fig in patents.values()]
+    e1 = RetrievalEngine(enc_f32, batch_size=4, image_size=32)
+    i1 = e1.encode_dataset(gallery)
+    e2 = RetrievalEngine(enc_u8, batch_size=4, image_size=32,
+                         input_dtype="u8")
+    i2 = e2.encode_dataset(gallery)
+    # embeddings agree to the u8-rounding floor…
+    a = np.asarray(i1.embeddings, np.float32)
+    b = np.asarray(i2.embeddings, np.float32)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.999, f"u8 input path diverged: {cos.min()}"
+    # …and the retrieval decision (top-1) is identical
+    r1 = e1.rank_queries(queries, k=1)
+    r2 = e2.rank_queries(queries, k=1)
+    assert r1 == r2
+
+
 def test_vit_deterministic_and_jit():
     model = VisionTransformer(VIT_TINY)
     x = jnp.asarray(np.random.default_rng(0).random((3, 32, 32, 3)), jnp.float32)
