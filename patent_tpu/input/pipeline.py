@@ -279,7 +279,11 @@ class PairBatcher:
     def __init__(self, anchor_paths: Sequence[str],
                  positive_paths: Sequence[str], node_idx: Sequence[int],
                  batch_size: int = 32, image_size: int = IMAGE_SIZE,
-                 num_workers: int = 8, use_native: bool | None = None):
+                 num_workers: int = 8, use_native: bool | None = None,
+                 out_dtype: str = "f32"):
+        """``out_dtype="u8"``: yield raw uint8 RGB (the fine-tune step
+        normalizes on device when it sees uint8 — 4× less host→device
+        transfer per step)."""
         assert len(anchor_paths) == len(positive_paths) == len(node_idx)
         self.anchors = list(anchor_paths)
         self.positives = list(positive_paths)
@@ -287,6 +291,9 @@ class PairBatcher:
         self.batch_size = batch_size
         self.image_size = image_size
         self.num_workers = max(1, num_workers)
+        if out_dtype not in ("f32", "u8"):
+            raise ValueError(f"out_dtype must be 'f32' or 'u8', got {out_dtype}")
+        self.out_dtype = out_dtype
         if use_native is None:
             from . import native
 
@@ -301,7 +308,8 @@ class PairBatcher:
             paths = ([self.anchors[i] for i in ids]
                      + [self.positives[i] for i in ids])
             batch, survivors = _native_decode_chunk(paths, self.image_size,
-                                                    self.num_workers)
+                                                    self.num_workers,
+                                                    self.out_dtype)
             alive = set(survivors)
             keep = [j for j in range(len(ids))
                     if j in alive and j + len(ids) in alive]
@@ -311,9 +319,10 @@ class PairBatcher:
                                      batch[[j + len(ids) for j in keep]]])
             nodes = self.node_idx[[ids[j] for j in keep]]
             return images, nodes
-        a_futs = [self._pool.submit(decode_image, self.anchors[i],
+        decode = decode_image_u8 if self.out_dtype == "u8" else decode_image
+        a_futs = [self._pool.submit(decode, self.anchors[i],
                                     self.image_size) for i in ids]
-        p_futs = [self._pool.submit(decode_image, self.positives[i],
+        p_futs = [self._pool.submit(decode, self.positives[i],
                                     self.image_size) for i in ids]
         pairs, nodes = [], []
         for i, fa, fp in zip(ids, a_futs, p_futs):

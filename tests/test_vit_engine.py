@@ -286,6 +286,30 @@ def test_shard_paths_per_host():
     assert shards[0] == ["p0", "p3", "p6", "p9"]
 
 
+def test_pair_batcher_u8_matches_f32(image_dir):
+    """PairBatcher(out_dtype="u8") + device-style normalization matches the
+    f32 batcher to the u8-rounding floor (the fine-tune input contract)."""
+    from patent_tpu.input.pipeline import PairBatcher
+
+    _root, paths = image_dir
+    anchors = [figs[0] for figs in paths.values()]
+    positives = [figs[1] for figs in paths.values()]
+    node_idx = np.arange(len(anchors), dtype=np.int32)
+    order = list(range(len(anchors)))
+    with PairBatcher(anchors, positives, node_idx, batch_size=3,
+                     image_size=32, num_workers=2) as b32:
+        got32 = list(b32.epoch(order))
+    with PairBatcher(anchors, positives, node_idx, batch_size=3,
+                     image_size=32, num_workers=2, out_dtype="u8") as b8:
+        got8 = list(b8.epoch(order))
+    assert len(got32) == len(got8)
+    for (i32, n32), (i8, n8) in zip(got32, got8):
+        assert i8.dtype == np.uint8
+        np.testing.assert_array_equal(n32, n8)
+        renorm = (i8.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        np.testing.assert_allclose(renorm, i32, atol=8e-3)
+
+
 def test_pair_batcher_matches_serial(image_dir, tmp_path):
     """PairBatcher (threaded + prefetch) yields exactly what the serial
     per-pair decode would: same images, same node indices, failed pairs
