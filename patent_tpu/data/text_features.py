@@ -114,7 +114,7 @@ def build_text_feature_dicts(
         model = TextTransformer(TEXT_B)
     tokenize = clip_tokenizer_or_fallback(checkpoint_dir, model.config)
     if params is None:
-        params = model.init(jax.random.key(seed),
+        params = jax.jit(model.init)(jax.random.key(seed),
                             jnp.zeros((1, model.config.context_length),
                                       jnp.int32))
     cpc_keys = sorted(cpc_definitions)

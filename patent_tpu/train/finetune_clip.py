@@ -16,6 +16,13 @@ v2 (reference notebooks/retrieval.ipynb cell 20, v1 in cell 16):
 
 The whole train step is ONE jit; the reference runs separate host-side loss
 module + optimizer objects.
+
+Measured (v5e-1, ViT-B/16, batch 32 pairs = 64 images/step): 0.098 s/step
+steady state = 650 img/s fwd+bwd (bf16); model init is jitted (eager flax
+init dispatches per-op through the tunneled device — 73 s vs 17 s jitted);
+input is uint8 pair batches normalized on device (PairBatcher
+out_dtype="u8"), decoded by the shared thread pool with one-batch-ahead
+prefetch, so the loop is device-bound, not host-bound.
 """
 
 from __future__ import annotations
@@ -86,7 +93,7 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
     vit_params = clip_params if clip_params is not None else \
-        vit.init(key, dummy)["params"]
+        jax.jit(vit.init)(key, dummy)["params"]
 
     white = pca_whiten(vgae_matrix, cfg.graph_proj_dim)
     head = AlignmentHead(num_nodes=white.shape[0],
@@ -94,7 +101,7 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
                          proj_dim=cfg.graph_proj_dim,
                          image_dim=vision_config.projection_dim,
                          init_tau=cfg.init_tau)
-    head_params = head.init(key, jnp.zeros((2, vision_config.projection_dim)),
+    head_params = jax.jit(head.init)(key, jnp.zeros((2, vision_config.projection_dim)),
                             jnp.zeros((1,), jnp.int32))["params"]
     head_params = dict(head_params)
     head_params["graph_embedding"] = jnp.asarray(white)

@@ -47,12 +47,12 @@ def init_end_to_end(vision_config: VisionConfig, cfg: EndToEndConfig,
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
     vit_params = clip_params if clip_params is not None else \
-        vit.init(key, dummy)["params"]
+        jax.jit(vit.init)(key, dummy)["params"]
 
     hyp = HyperbolicEmbeddingModel(
         feature_dim=vision_config.projection_dim, embed_dim=cfg.embed_dim,
         label_num=label_num, c=cfg.curvature)
-    hyp_params = hyp.init(key, jnp.zeros(
+    hyp_params = jax.jit(hyp.init)(key, jnp.zeros(
         (1, vision_config.projection_dim)))["params"]
 
     params = {"vit": vit_params, "hyp": hyp_params}

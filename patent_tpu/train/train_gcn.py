@@ -38,8 +38,10 @@ def train_pair_classification(x: np.ndarray, adjacency: np.ndarray,
     model = EnhancedVGAE(hidden_dim=cfg.hidden_dim, latent_dim=cfg.latent_dim,
                          num_layers=cfg.num_layers)
     p0 = jnp.asarray(pairs[:min(len(pairs), cfg.batch_size)], jnp.int32)
-    variables = model.init(jax.random.key(cfg.seed), x_dev, a_tilde, p0,
-                           method=EnhancedVGAE.encode_and_classify)
+    variables = jax.jit(
+        lambda k, xx, aa, pp: model.init(
+            k, xx, aa, pp, method=EnhancedVGAE.encode_and_classify)
+    )(jax.random.key(cfg.seed), x_dev, a_tilde, p0)
 
     schedule = optax.exponential_decay(cfg.learning_rate, transition_steps=200,
                                        decay_rate=0.7, staircase=True)

@@ -54,8 +54,9 @@ def train_hmi(features: np.ndarray, inputs: HMIInputs, num_labels: int,
     x_all = np.asarray(features, np.float32)
     x_all = x_all / (np.linalg.norm(x_all, axis=1, keepdims=True) + 1e-8) * 0.3
 
-    params = model.init(jax.random.key(seed), jnp.asarray(x_all[:1]),
-                        method=HMI.encode)["params"]
+    params = jax.jit(
+        lambda k, xx: model.init(k, xx, method=HMI.encode)
+    )(jax.random.key(seed), jnp.asarray(x_all[:1]))["params"]
     optimizer = riemannian_adam(learning_rate, c=1.0,
                                 mask=manifold_mask(params))
     opt_state = optimizer.init(params)

@@ -327,7 +327,7 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         label_num=label_num, hidden_dims=tuple(cfg.hidden_dims),
         c=cfg.curvature)
     x0 = jnp.zeros((1, td.x_figures.shape[1]), jnp.float32)
-    params = model.init(jax.random.key(cfg.seed), x0)["params"]
+    params = jax.jit(model.init)(jax.random.key(cfg.seed), x0)["params"]
 
     optimizer = riemannian_adam(cfg.learning_rate, c=cfg.curvature,
                                 mask=manifold_mask(params))

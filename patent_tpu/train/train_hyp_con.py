@@ -32,7 +32,7 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
         feature_dim=td.x_figures.shape[1], embed_dim=cfg.embed_dim,
         hidden_dims=tuple(cfg.hidden_dims), c=cfg.curvature)
     x0 = jnp.zeros((1, td.x_figures.shape[1]), jnp.float32)
-    params = model.init(jax.random.key(cfg.seed), x0)["params"]
+    params = jax.jit(model.init)(jax.random.key(cfg.seed), x0)["params"]
     optimizer = optax.adam(cfg.learning_rate)   # reference uses plain Adam here
     opt_state = optimizer.init(params)
     x_figures = jax.device_put(jnp.asarray(td.x_figures))

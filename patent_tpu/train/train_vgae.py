@@ -41,7 +41,7 @@ def train_vgae_link_prediction(x: np.ndarray, adjacency,
     x_dev = jnp.asarray(x, jnp.float32)
 
     model = VGAE(hidden_dim=hidden_dim, latent_dim=latent_dim)
-    variables = model.init(jax.random.key(seed), x_dev, a_tilde)
+    variables = jax.jit(model.init)(jax.random.key(seed), x_dev, a_tilde)
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(variables["params"])
 
