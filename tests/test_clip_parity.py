@@ -93,6 +93,31 @@ def test_vision_tower_matches_torch_get_image_features(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
 
+def test_int8_quantized_converted_weights_match_torch(tmp_path):
+    """The int8 PTQ serving tower, fed CONVERTED HF CLIP weights, stays
+    close to torch's features (the --quantize production path end-to-end:
+    torch checkpoint → converter → quantize_vit_params → Int8 tower)."""
+    from patent_tpu.models.vit_int8 import (Int8VisionTransformer,
+                                            quantize_vit_params)
+
+    model = _small_torch_clip()
+    model.save_pretrained(tmp_path)
+    params = load_hf_clip_params(str(tmp_path), SMALL_VISION)
+    qp = quantize_vit_params(params)
+
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((4, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model.get_image_features(
+            pixel_values=torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).numpy()
+    got = np.asarray(Int8VisionTransformer(SMALL_VISION, dtype=jnp.float32)
+                     .apply({"params": qp}, jnp.asarray(images)))
+    cos = np.sum(got * want, -1) / (np.linalg.norm(got, axis=-1)
+                                    * np.linalg.norm(want, axis=-1))
+    assert cos.min() > 0.99, f"int8 vs torch cosine too low: {cos}"
+
+
 def test_text_tower_matches_torch_get_text_features(tmp_path):
     model = _small_torch_clip()
     model.save_pretrained(tmp_path)

@@ -44,6 +44,47 @@ def test_topk_blockwise_matches_brute_force(data):
     np.testing.assert_allclose(np.asarray(vals), bv, atol=1e-5)
 
 
+def test_quantized_index_matches_brute_force(data):
+    """int8 candidates + f32 re-rank: exact top-10 on random vectors (the
+    hardest case — near-tie scores everywhere) at pool depth 8k."""
+    queries, gallery = data
+    ix = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))],
+                        quantized=True)
+    vals, idx = ix.search(queries, k=10, block_size=256)
+    bv, bi = brute_force_cosine(queries, gallery, 10)
+    overlap = np.mean([len(set(idx[i]) & set(bi[i])) / 10
+                       for i in range(len(queries))])
+    assert overlap >= 0.99, f"quantized recall@10 vs brute force: {overlap}"
+    # returned scores are exact f32 cosines, best-first
+    np.testing.assert_allclose(
+        vals, np.sort(vals, axis=1)[:, ::-1], atol=0)
+    rows_exact = (idx == bi).all(axis=1)
+    assert rows_exact.mean() >= 0.9
+
+
+def test_quantized_index_exact_on_clustered(data):
+    """On clustered (retrieval-regime) data the quantized index is exactly
+    the f32 index: margins dwarf the int8 candidate noise."""
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((20, 64)).astype(np.float32)
+    gallery = np.concatenate([c + 0.05 * rng.standard_normal((50, 64))
+                              for c in centers]).astype(np.float32)
+    queries = (centers + 0.05 * rng.standard_normal((20, 64))).astype(np.float32)
+    f32 = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))])
+    q8 = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))],
+                        quantized=True)
+    _v1, i1 = f32.search(queries, k=10)
+    _v2, i2 = q8.search(queries, k=10)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_quantized_index_guards():
+    g = np.eye(8, 16, dtype=np.float32)
+    with pytest.raises(ValueError, match="cosine only"):
+        EmbeddingIndex(g, [f"g{i}" for i in range(8)], similarity="poincare",
+                       quantized=True)
+
+
 def test_topk_k_larger_than_gallery(data):
     queries, _ = data
     gal = np.random.default_rng(0).standard_normal((6, 64)).astype(np.float32)
