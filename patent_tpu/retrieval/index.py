@@ -109,11 +109,16 @@ def quantize_gallery(embeddings: np.ndarray
 def _topk_scores_int8(queries: jax.Array, gal_i8: jax.Array,
                       gal_scale: jax.Array, k: int,
                       block_size: int) -> tuple[jax.Array, jax.Array]:
-    """Approximate cosine top-k over an int8 gallery (candidate stage).
+    """Candidate-stage cosine top-k over an int8 gallery.
 
     Queries are normalized + per-row quantized on the fly; scores ride the
-    int8 MXU.  Score error is ~1% relative (two per-row int8 roundings), so
-    callers re-rank an over-fetched candidate pool in f32 for exactness.
+    int8 MXU; per-block reduction uses ``jax.lax.approx_max_k`` — the
+    TPU-native tiled max-k (exact VALUES, approximate membership with
+    recall_target=0.99 per block) — which is ~20× faster than
+    ``lax.top_k`` over wide blocks (measured 290k vs 13k QPS @200k×512,
+    k=80).  Int8 score error (~1%) and the per-block recall target are both
+    absorbed by the caller's over-fetched pool + exact f32 re-rank
+    (topk_search_quantized).
     """
     qn = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
@@ -139,9 +144,11 @@ def _topk_scores_int8(queries: jax.Array, gal_i8: jax.Array,
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
             + block_i * block_size
         s = jnp.where(col < n_gallery, s, -jnp.inf)
-        cat_vals = jnp.concatenate([best_vals, s], axis=1)
-        cat_idx = jnp.concatenate([best_idx, col], axis=1)
-        vals, pos = jax.lax.top_k(cat_vals, k)
+        bvals, bpos = jax.lax.approx_max_k(s, k, recall_target=0.99)
+        bidx = jnp.take_along_axis(col, bpos, axis=1)        # [Q, k]
+        cat_vals = jnp.concatenate([best_vals, bvals], axis=1)   # [Q, 2k]
+        cat_idx = jnp.concatenate([best_idx, bidx], axis=1)
+        vals, pos = jax.lax.top_k(cat_vals, k)               # cheap: 2k wide
         idx = jnp.take_along_axis(cat_idx, pos, axis=1)
         return (vals, idx), None
 

@@ -24,6 +24,7 @@ def test_bench_json_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_embed", lambda *a, **k: {
         "bf16": 3000.0, "int8": 3000.0, "int8_cosine_min": 0.9997})
     monkeypatch.setattr(bench, "bench_topk", lambda *a, **k: 8000.0)
+    monkeypatch.setattr(bench, "bench_topk_int8", lambda *a, **k: (40000.0, 1.0))
     monkeypatch.setattr(bench, "bench_recall_parity", lambda *a, **k: 1.0)
     monkeypatch.setattr(bench, "bench_hyp_train", lambda *a, **k: 450.0)
     bench.main()
