@@ -11,8 +11,11 @@ MEASURED STATUS (v5e-1, batch 128 ViT-B/16): ``fused_attention_block``
 (QKV projection + MHA + out-projection in ONE kernel, softmax-pass
 elimination via ``_one_pass_softmax_pv``) beats plain XLA IN-MODEL:
 3,382 vs 3,051 img/s (+11%), min feature cosine 0.99999.  It is the
-serving default (retrieval/cli_actions, bench.py); training keeps the
-XLA path — pallas_call has no VJP.  The standalone q/k/v kernels remain
+serving default (retrieval/cli_actions, bench.py) AND, via its custom VJP
+(recompute-softmax Pallas backward — nothing [S, S]-sized is ever stored),
+the training default (finetune/train_end towers): 60.2 vs 68.6 ms/step
+(+14%) on the ViT-B/16 fine-tune step, gradients exact vs the XLA
+composition in interpret mode.  The standalone q/k/v kernels remain
 for sub-layer use (isolated-op win 1.74×, but their pack/pad boundary
 makes them lose in-model — use ``fused_block``, not ``use_flash``, when
 the whole sub-layer is available).  Accuracy vs an f32 XLA oracle at
@@ -204,15 +207,12 @@ def _fused_attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("seq_len", "num_heads", "head_dim"))
-def _fused_attn_block_impl(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+def _fused_attn_block_core(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                            wout: jax.Array, bout: jax.Array, seq_len: int,
                            num_heads: int, head_dim: int) -> jax.Array:
+    """Pallas forward on padded input with PRE-FOLDED (score-scaled) qkv
+    weights — the fold lives in the caller so it stays on autodiff's tape."""
     b, sp, d = x.shape
-    # fold the score scale and log2(e) (exp→exp2) into the q columns — free
-    # relative to the per-image work this jitted impl amortizes it over
-    scale2 = float(np.log2(np.e) / np.sqrt(head_dim))
-    wqkv = jnp.concatenate([wqkv[:, :d] * scale2, wqkv[:, d:]], axis=1)
-    bqkv = jnp.concatenate([bqkv[:, :d] * scale2, bqkv[:, d:]], axis=1)
     xspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
 
@@ -236,6 +236,145 @@ def _fused_attn_block_impl(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
             transcendentals=b * num_heads * sp * sp,
         ),
     )(x, wqkv, bqkv, wout, bout)
+
+
+# ------------------------------------------------- trainable fused block
+#
+# custom_vjp makes the Pallas fused block differentiable, so the SAME
+# kernel serves inference and training (finetune/train_end otherwise fall
+# back to XLA attention, which materializes the [B, H, S, S] softmax to HBM
+# in forward AND backward).  The backward recomputes QKV + softmax inside a
+# Pallas kernel (nothing [S, S]-sized is ever stored), emitting dqkv and
+# the concatenated head outputs A; every weight gradient is then a plain
+# XLA MXU matmul.  The score-scale fold and pad/slice live OUTSIDE the
+# custom_vjp boundary, so their gradients flow through ordinary autodiff.
+
+def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
+                     num_heads: int, head_dim: int):
+    """One batch element: softmax-attention backward, all in VMEM.
+
+    Inputs: recomputed qkv [1, Sp, 3D] (q pre-scaled), dA [1, Sp, D] =
+    dout @ Woutᵀ.  Outputs: dqkv [1, Sp, 3D] (in pre-scaled-q coordinates)
+    and A [1, Sp, D] (recomputed head outputs, for dWout = Aᵀ dout).
+
+    The exp2 clamp at +80 is treated as exp2 everywhere (its gradient gate
+    would only zero junk pad-query rows, whose cotangents are already zero
+    from the caller's slice).
+    """
+    ln2 = float(np.log(2.0))
+    qkv = qkv_ref[0]                                     # [Sp, 3D] bf16
+    da = da_ref[0].astype(jnp.float32)                   # [Sp, D]
+    d = num_heads * head_dim
+    sp = qkv.shape[0]
+    valid = _valid_col(sp, seq_len, qkv.dtype)
+    for h in range(num_heads):
+        lo = h * head_dim
+        q = qkv[:, lo:lo + head_dim]
+        k = qkv[:, d + lo:d + lo + head_dim]
+        v = qkv[:, 2 * d + lo:2 * d + lo + head_dim]
+        v_ext = jnp.concatenate([v * valid, valid], axis=1)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = jnp.exp2(jnp.minimum(s, 80.0)).astype(qkv.dtype)   # [Sp, Sp]
+        o_ext = jax.lax.dot_general(
+            p, v_ext, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        den = o_ext[:, head_dim:head_dim + 1]
+        o = o_ext[:, :head_dim] / den                    # [Sp, hd]
+        do = da[:, lo:lo + head_dim]
+        dn = do / den                                    # d(numerator)
+        dden = -jnp.sum(do * o, axis=1, keepdims=True) / den
+        dn_ext = jnp.concatenate([dn, dden], axis=1).astype(qkv.dtype)
+        # dp = dn_ext @ v_extᵀ  (mask+denominator cotangents in one dot)
+        dp = jax.lax.dot_general(
+            dn_ext, v_ext, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (ln2 * dp * p.astype(jnp.float32)).astype(qkv.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dv = jax.lax.dot_general(
+            p, dn.astype(qkv.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * valid.astype(jnp.float32)
+        a_ref[0, :, lo:lo + head_dim] = o.astype(a_ref.dtype)
+        dqkv_ref[0, :, lo:lo + head_dim] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, d + lo:d + lo + head_dim] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * d + lo:2 * d + lo + head_dim] = \
+            dv.astype(dqkv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim"))
+def _attn_bwd_impl(qkv: jax.Array, da: jax.Array, seq_len: int,
+                   num_heads: int, head_dim: int):
+    b, sp, d3 = qkv.shape
+    d = num_heads * head_dim
+    qspec = pl.BlockSpec((1, sp, d3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim),
+        grid=(b,),
+        in_specs=[qspec, dspec],
+        out_specs=(qspec, dspec),
+        out_shape=(jax.ShapeDtypeStruct((b, sp, d3), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, sp, d), qkv.dtype)),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (10 * sp * sp * d + 2 * sp * sp * num_heads),
+            bytes_accessed=2 * 2 * b * sp * (d3 + d),
+            transcendentals=b * num_heads * sp * sp),
+    )(qkv, da)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fab_core(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim):
+    """Differentiable fused attention block on PADDED [B, Sp, D] input with
+    PRE-FOLDED (score-scaled) qkv weights."""
+    return _fused_attn_block_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
+                                  num_heads, head_dim)
+
+
+def _fab_fwd(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim):
+    out = _fused_attn_block_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
+                                 num_heads, head_dim)
+    return out, (x, wqkv_f, bqkv_f, wout)
+
+
+def _fab_bwd(seq_len, num_heads, head_dim, res, dout):
+    x, wqkv_f, bqkv_f, wout = res
+    b, sp, d = x.shape
+    dout32 = dout.astype(jnp.float32)
+    # recompute qkv (cheaper than storing [B, Sp, 3D] from forward)
+    qkv = (jax.lax.dot_general(
+        x, wqkv_f, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_f.reshape(1, 1, -1).astype(jnp.float32)).astype(x.dtype)
+    da = jax.lax.dot_general(
+        dout32, wout.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((), ())))      # dout @ Woutᵀ
+    dqkv, a = _attn_bwd_impl(qkv, da.astype(x.dtype), seq_len, num_heads,
+                             head_dim)
+    dqkv32 = dqkv.astype(jnp.float32)
+    dwout = jnp.einsum("bsd,bse->de", a.astype(jnp.float32), dout32)
+    dbout = jnp.sum(dout32, axis=(0, 1)).reshape(1, -1)  # primal is [1, D]
+    dx = jax.lax.dot_general(
+        dqkv32, wqkv_f.astype(jnp.float32),
+        dimension_numbers=(((2,), (1,)), ((), ())))      # dqkv @ W'ᵀ
+    dwqkv_f = jnp.einsum("bsd,bse->de", x.astype(jnp.float32), dqkv32)
+    dbqkv_f = jnp.sum(dqkv32, axis=(0, 1)).reshape(1, -1)
+    return (dx.astype(x.dtype), dwqkv_f.astype(wqkv_f.dtype),
+            dbqkv_f.astype(bqkv_f.dtype), dwout.astype(wout.dtype),
+            dbout.astype(wout.dtype))
+
+
+_fab_core.defvjp(_fab_fwd, _fab_bwd)
 
 
 def fused_attention_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
@@ -262,12 +401,19 @@ def fused_attention_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
         out = flash_attention(heads(q), heads(k), heads(v))
         return out.reshape(b, s, d) @ wout + bout
 
+    # fold the score scale and log2(e) (exp→exp2) into the q columns.
+    # These jnp ops (and the pad/slice) sit OUTSIDE the custom_vjp, so
+    # autodiff transposes them; _fab_core handles the kernel's VJP.
+    scale2 = float(np.log2(np.e) / np.sqrt(head_dim))
+    wqkv_f = jnp.concatenate([wqkv[:, :d] * scale2, wqkv[:, d:]], axis=1)
+    bqkv_f = jnp.concatenate(
+        [bqkv.reshape(-1)[:d] * scale2, bqkv.reshape(-1)[d:]]).reshape(1, -1)
     # bf16 VMEM tiling: pad S to a multiple of 16 (f32 scores need 8; bf16
     # activations need 16 on the second-minor axis)
     sp = _round_up(max(s, 16), 16)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
-    out = _fused_attn_block_impl(xp, wqkv, bqkv.reshape(1, -1), wout,
-                                 bout.reshape(1, -1), s, num_heads, head_dim)
+    out = _fab_core(xp, wqkv_f, bqkv_f, wout, bout.reshape(1, -1), s,
+                    num_heads, head_dim)
     return out[:, :s, :]
 
 

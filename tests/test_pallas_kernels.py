@@ -141,6 +141,33 @@ def test_fused_attention_block_matches_xla(rng):
                                atol=2e-3, rtol=2e-2)
 
 
+def test_fused_attention_block_grads_match_xla(rng):
+    """custom_vjp (Pallas fwd + recompute-softmax Pallas bwd) vs plain
+    autodiff through the XLA fallback — every input's gradient."""
+    from patent_tpu.ops.flash_attention import fused_attention_block
+
+    b, s, h, hd = 2, 13, 4, 16
+    d = h * hd
+    x = jnp.asarray(rng.standard_normal((b, s, d)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    def loss(args, force):
+        out = fused_attention_block(*args, num_heads=h, force=force)
+        return jnp.sum(out * cot)
+
+    g_kernel = jax.grad(lambda a: loss(a, True))((x, wqkv, bqkv, wout, bout))
+    g_xla = jax.grad(lambda a: loss(a, False))((x, wqkv, bqkv, wout, bout))
+    names = ["dx", "dwqkv", "dbqkv", "dwout", "dbout"]
+    for name, gk, gx in zip(names, g_kernel, g_xla):
+        denom = np.max(np.abs(np.asarray(gx))) + 1e-9
+        err = np.max(np.abs(np.asarray(gk) - np.asarray(gx))) / denom
+        assert err < 2e-2, f"{name} grad mismatch: rel {err:.3e}"
+
+
 def test_vit_with_fused_block_matches_without(rng):
     """fused_block=True: identical param tree, identical output (CPU takes
     the fallback path through flash_attention)."""
