@@ -25,4 +25,5 @@ from .pairs import (  # noqa: F401
     sample_figure_pairs,
     save_figure_pair_connections,
 )
+from .bpe import ClipBPETokenizer, load_clip_bpe  # noqa: F401
 from . import synthetic  # noqa: F401
