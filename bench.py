@@ -234,27 +234,33 @@ def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
     return float(np.mean(overlap))
 
 
-def _device_responsive(timeout_s: float = 240.0) -> bool:
+def _device_responsive(timeout_s: float = 240.0, retries: int = 2,
+                       retry_wait_s: float = 300.0) -> bool:
     """Probe the device with a tiny op under a watchdog: the tunneled TPU
     lease can wedge after abrupt client kills, and a hung probe must not
-    hang the whole bench run."""
-    import threading
+    hang the whole bench run.
 
-    ok = [False]
+    The probe runs in a SUBPROCESS (an in-process daemon thread stuck in a
+    device RPC makes interpreter teardown call std::terminate) and, on
+    failure, waits out the lease timeout and retries — a transient wedge
+    right before the driver's bench run must not record a 0.0 round."""
+    import subprocess
+    import sys
 
-    def probe():
+    code = ("import jax.numpy as jnp; float(jnp.sum(jnp.ones((8, 8)))); "
+            "print('ok')")
+    for attempt in range(retries + 1):
         try:
-            import jax.numpy as jnp
-
-            float(jnp.sum(jnp.ones((8, 8))))
-            ok[0] = True
-        except Exception:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
             pass
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok[0]
+        if attempt < retries:
+            time.sleep(retry_wait_s)
+    return False
 
 
 def main() -> None:

@@ -175,6 +175,18 @@ def topk_search_quantized(queries, gal_i8: jax.Array, gal_scale: jax.Array,
     q = jnp.asarray(queries)
     n = gal_i8.shape[0]
     pool = min(max(k * rerank_mult, k), n)
+    if pool >= n:
+        # full-gallery ranking (the offline evaluate path): the candidate
+        # stage can't narrow anything — score everything exactly on host
+        # instead of gathering a [Q, N, D] re-rank tensor
+        qn = np.asarray(q, np.float32)
+        qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True),
+                             1e-12)
+        gn = gallery_f32 / np.maximum(
+            np.linalg.norm(gallery_f32, axis=-1, keepdims=True), 1e-12)
+        exact = qn @ gn.T
+        idx = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+        return np.take_along_axis(exact, idx, axis=1), idx
     _pv, pidx = _topk_scores_int8(q, gal_i8, gal_scale, pool, block_size)
     pidx = np.asarray(pidx)                                  # [Q, pool]
     qn = np.asarray(q, np.float32)

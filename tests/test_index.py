@@ -78,6 +78,18 @@ def test_quantized_index_exact_on_clustered(data):
     np.testing.assert_array_equal(i1, i2)
 
 
+def test_quantized_index_full_ranking(data):
+    """k = full gallery (the evaluate path) returns the exact f32 ranking
+    without the candidate stage (no [Q, N, D] re-rank blowup)."""
+    queries, gallery = data
+    ix = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))],
+                        quantized=True)
+    vals, idx = ix.search(queries[:5], k=len(gallery))
+    bv, bi = brute_force_cosine(queries[:5], gallery, len(gallery))
+    np.testing.assert_array_equal(idx, bi)
+    np.testing.assert_allclose(vals, bv, atol=1e-5)
+
+
 def test_quantized_index_guards():
     g = np.eye(8, 16, dtype=np.float32)
     with pytest.raises(ValueError, match="cosine only"):
