@@ -156,20 +156,37 @@ def bench_hyp_train(batch_size: int = 256, label_num: int = 16384,
              jnp.ones(batch_size, jnp.float32))
     key = jax.random.key(0)
 
+    # chain CHUNK steps per dispatch with lax.scan: a single step is
+    # ~0.8 ms, far below the tunnel's dispatch/fetch jitter, so host-looped
+    # timing measures noise (observed 0.4k-5k "steps/s" run to run).  The
+    # real train loop's async dispatch overlaps host work with the device,
+    # so device-side throughput is the honest capacity number.
+    CHUNK = 200
+
+    @jax.jit
+    def steps_chunk(params, opt_state):
+        def body(carry, i):
+            p, o = carry
+            p, o, metrics = step(p, o, batch, jax.random.fold_in(key, i),
+                                 x_figures, implication, exclusion)
+            return (p, o), metrics["total_loss"]
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(CHUNK))
+        return params, opt_state, losses[-1]
+
     state = {"p": params, "o": opt_state}
 
     def one():
-        state["p"], state["o"], metrics = step(
-            state["p"], state["o"], batch, key, x_figures, implication,
-            exclusion)
-        return metrics["total_loss"]
+        state["p"], state["o"], loss = steps_chunk(state["p"], state["o"])
+        return loss
 
     import jax.numpy as jnp2
 
     sum_jit = jax.jit(jnp2.sum)
     float(sum_jit(one()))
-    return _timed_throughput(one, lambda v: float(sum_jit(v)), 1,
-                             n_small=5, n_large=25)
+    return _timed_throughput(one, lambda v: float(sum_jit(v)), CHUNK,
+                             n_small=2, n_large=6)
 
 
 def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
@@ -180,7 +197,7 @@ def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
     import jax
     import jax.numpy as jnp
 
-    from patent_tpu.retrieval.index import (quantize_gallery, topk_search,
+    from patent_tpu.retrieval.index import (quantize_gallery,
                                             topk_search_quantized)
 
     rng = np.random.default_rng(0)
@@ -203,15 +220,18 @@ def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
     qps = _timed_throughput(stage, lambda v: float(sum_jit(v)),
                             n_queries, n_small=2, n_large=8)
 
-    # exactness: full quantized search (stage + f32 host re-rank) vs the
-    # exact f32 device search on the same data
+    # exactness: full quantized search (stage + f32 host re-rank) vs a
+    # host-side brute force on a query subsample (a second full device
+    # search would double the bench's heavy compiles for no extra signal)
     _v, idx = topk_search_quantized(queries, i8_dev, sc_dev, gallery,
                                     k=k, block_size=131072)
-    g_dev = jnp.asarray(gallery)
-    _fv, fidx = topk_search(q_dev, g_dev, k=k, block_size=131072)
-    fidx = np.asarray(fidx)
-    overlap = float(np.mean([len(set(idx[i]) & set(fidx[i])) / k
-                             for i in range(n_queries)]))
+    sub = min(64, n_queries)
+    qn = queries[:sub] / np.linalg.norm(queries[:sub], axis=-1,
+                                        keepdims=True)
+    gn = gallery / np.linalg.norm(gallery, axis=-1, keepdims=True)
+    brute = np.argsort(-(qn @ gn.T), axis=1)[:, :k]
+    overlap = float(np.mean([len(set(idx[i]) & set(brute[i])) / k
+                             for i in range(sub)]))
     return qps, overlap
 
 
