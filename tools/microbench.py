@@ -175,14 +175,20 @@ def bench_finetune() -> dict:
         if not fused:   # init_finetune_state defaults to the fused tower
             vit = VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
         step, _ = make_finetune_step(vit, head, opt, cfg)
-        for _ in range(3):   # compile + absorb warm-up one-timers
+        # per-step forced timing: a ~65 ms step dwarfs the per-fetch
+        # overhead, and forcing each step keeps the tunnel's async ack
+        # behavior out of the clock (scan-chunked variants measured
+        # garbage through this link)
+        for _ in range(4):   # compile + drain warm-up one-timers
             params, opt_state, m = step(params, opt_state, images, nodes, 0.1)
             float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(6):
+        times = []
+        for _ in range(12):
+            t0 = time.perf_counter()
             params, opt_state, m = step(params, opt_state, images, nodes, 0.1)
-        float(m["loss"])
-        dt = (time.perf_counter() - t0) / 6
+            float(m["loss"])
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         out[f"finetune_{'fused' if fused else 'xla'}_img_per_sec"] = \
             round(64 / dt, 1)
     return out
