@@ -303,6 +303,59 @@ def hf_clip_vision_params(sd: dict[str, np.ndarray],
     return jax.tree.map(jnp.asarray, p)
 
 
+def hf_clip_vision_state_dict(params: dict,
+                              vision_config: VisionConfig = VIT_B16
+                              ) -> dict[str, np.ndarray]:
+    """VisionTransformer param pytree → HF ``CLIPModel`` state-dict entries
+    (vision_model.* + visual_projection) — the exact inverse of
+    ``hf_clip_vision_params``.
+
+    Closes the checkpoint loop the reference relies on
+    (save_pretrained/from_pretrained hand-offs between fine-tuning and
+    serving, retrieval.ipynb cells 2/16/20): a tower fine-tuned here can be
+    loaded back into ``transformers`` with
+    ``model.load_state_dict(sd, strict=False)``.  Round-trip parity is
+    executed in tests/test_clip_parity.py.
+    """
+    p = jax.tree.map(lambda x: np.asarray(x, np.float32), params)
+
+    def lin(prefix, node):
+        return {prefix + ".weight": node["kernel"].T,
+                prefix + ".bias": node["bias"]}
+
+    vm = "vision_model"
+    sd: dict[str, np.ndarray] = {
+        f"{vm}.embeddings.patch_embedding.weight": np.transpose(
+            p["patch_embed"]["kernel"], (3, 2, 0, 1)),
+        f"{vm}.embeddings.class_embedding": p["class_embedding"],
+        f"{vm}.embeddings.position_embedding.weight":
+            p["position_embedding"],
+        f"{vm}.pre_layrnorm.weight": p["pre_ln"]["scale"],
+        f"{vm}.pre_layrnorm.bias": p["pre_ln"]["bias"],
+        f"{vm}.post_layernorm.weight": p["post_ln"]["scale"],
+        f"{vm}.post_layernorm.bias": p["post_ln"]["bias"],
+        "visual_projection.weight": p["projection"]["kernel"].T,
+    }
+    d = vision_config.hidden_dim
+    for i in range(vision_config.num_layers):
+        enc = f"{vm}.encoder.layers.{i}"
+        blk = p[f"block_{i}"]
+        sd[f"{enc}.layer_norm1.weight"] = blk["ln1"]["scale"]
+        sd[f"{enc}.layer_norm1.bias"] = blk["ln1"]["bias"]
+        sd[f"{enc}.layer_norm2.weight"] = blk["ln2"]["scale"]
+        sd[f"{enc}.layer_norm2.bias"] = blk["ln2"]["bias"]
+        qkv_k = blk["attn"]["qkv"]["kernel"]          # [D, 3D]
+        qkv_b = blk["attn"]["qkv"]["bias"]
+        for j, name in enumerate(("q_proj", "k_proj", "v_proj")):
+            sd[f"{enc}.self_attn.{name}.weight"] = \
+                qkv_k[:, j * d:(j + 1) * d].T
+            sd[f"{enc}.self_attn.{name}.bias"] = qkv_b[j * d:(j + 1) * d]
+        sd.update(lin(f"{enc}.self_attn.out_proj", blk["attn"]["out"]))
+        sd.update(lin(f"{enc}.mlp.fc1", blk["mlp_in"]))
+        sd.update(lin(f"{enc}.mlp.fc2", blk["mlp_out"]))
+    return sd
+
+
 def hf_clip_text_params(sd: dict[str, np.ndarray],
                         text_config: TextConfig = TEXT_B) -> dict:
     """state-dict (numpy) → TextTransformer param pytree (text_model.* +

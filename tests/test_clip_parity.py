@@ -133,6 +133,39 @@ def test_text_tower_matches_torch_get_text_features(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
 
 
+def test_vision_export_roundtrip_to_torch(tmp_path):
+    """Flax → HF state-dict export loads back into torch and reproduces the
+    Flax features (the save_pretrained hand-off direction the reference's
+    fine-tune → serving pipeline depends on)."""
+    from patent_tpu.models.vit import hf_clip_vision_state_dict
+
+    # a torch model gives a valid config shell; REPLACE its weights with a
+    # fresh random-init Flax tower, export, and compare
+    model = _small_torch_clip()
+    flax_model = VisionTransformer(SMALL_VISION)
+    params = flax_model.init(
+        __import__("jax").random.key(7),
+        jnp.zeros((1, 32, 32, 3)))["params"]
+    sd = hf_clip_vision_state_dict(params, SMALL_VISION)
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in sd.items()}, strict=False)
+    assert not unexpected
+    assert all(k.startswith("text_model") or k == "text_projection.weight"
+               or "logit_scale" in k for k in missing), missing
+    model.eval()
+
+    rng = np.random.default_rng(2)
+    images = rng.standard_normal((3, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = model.get_image_features(
+            pixel_values=torch.from_numpy(images.transpose(0, 3, 1, 2))
+        ).numpy()
+    got = np.asarray(flax_model.apply({"params": params},
+                                      jnp.asarray(images)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=0)
+
+
 def test_eos_pooling_position_matters():
     """Moving the EOS token changes the pooled feature (i.e. pooling really
     anchors at EOS, not at a fixed position)."""
