@@ -200,6 +200,55 @@ def topk_search_quantized(queries, gal_i8: jax.Array, gal_scale: jax.Array,
     return vals, idx
 
 
+def sharded_topk_search_quantized(mesh: Mesh, queries,
+                                  gal_i8: jax.Array, gal_scale: jax.Array,
+                                  gallery_f32: np.ndarray, k: int = 10,
+                                  block_size: int = 8192,
+                                  rerank_mult: int = 8,
+                                  axis: str = "data"
+                                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Quantized candidate search with the int8 gallery row-sharded over
+    ``mesh[axis]`` (4× the vectors per chip at pod scale), f32 re-rank on
+    host.  Each shard runs the int8+approx_max_k pool pass over its rows;
+    one all_gather merges per-shard pools; the final exact ordering comes
+    from the host re-rank, exactly as in ``topk_search_quantized``."""
+    from jax import shard_map
+
+    q = jnp.asarray(queries)
+    n = gal_i8.shape[0]
+    pool = min(max(k * rerank_mult, k), n)
+    n_shards = mesh.shape[axis]
+    per_shard = -(-n // n_shards)
+    padded = per_shard * n_shards
+    gal_p = jnp.pad(gal_i8, ((0, padded - n), (0, 0)))
+    scale_p = jnp.pad(gal_scale, (0, padded - n))
+
+    def shard_fn(qs, g, sc):
+        shard_i = jax.lax.axis_index(axis)
+        vals, idx = _topk_scores_int8(qs, g, sc, min(pool, per_shard),
+                                      block_size)
+        idx = idx + shard_i * per_shard
+        vals = jnp.where(idx < n, vals, -jnp.inf)
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        mvals, pos = jax.lax.top_k(all_vals, pool)
+        return mvals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(axis), P(axis)),
+                   out_specs=(P(), P()), check_vma=False)
+    _pv, pidx = fn(q, gal_p, scale_p)
+    pidx = np.asarray(pidx)
+    qn = np.asarray(q, np.float32)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    gn = gallery_f32[pidx]
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    exact = np.einsum("qd,qpd->qp", qn, gn)
+    order = np.argsort(-exact, axis=1)[:, :k]
+    return (np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(pidx, order, axis=1))
+
+
 def sharded_topk_search(mesh: Mesh, queries: jax.Array, gallery: jax.Array,
                         k: int = 10, similarity: Similarity = "cosine",
                         block_size: int = 8192, c: float = 1.0,
@@ -269,9 +318,6 @@ class EmbeddingIndex:
         if quantized:
             if similarity != "cosine":
                 raise ValueError("quantized index supports cosine only")
-            if mesh is not None:
-                raise ValueError("quantized + mesh not supported; shard the "
-                                 "f32 index or quantize per shard")
             self._emb_np = np.asarray(embeddings, np.float32)
             i8, scale = quantize_gallery(self._emb_np)
             self.emb_i8 = jnp.asarray(i8)
@@ -292,9 +338,14 @@ class EmbeddingIndex:
         q = jnp.asarray(queries)
         k = min(k, len(self.names))
         if self.quantized:
-            vals, idx = topk_search_quantized(q, self.emb_i8, self.emb_scale,
-                                              self._emb_np, k=k,
-                                              block_size=block_size)
+            if self.mesh is not None and k * 8 < len(self.names):
+                vals, idx = sharded_topk_search_quantized(
+                    self.mesh, q, self.emb_i8, self.emb_scale, self._emb_np,
+                    k=k, block_size=block_size, axis=self.axis)
+            else:
+                vals, idx = topk_search_quantized(
+                    q, self.emb_i8, self.emb_scale, self._emb_np, k=k,
+                    block_size=block_size)
             return np.asarray(vals), np.asarray(idx)
         if self.mesh is not None:
             vals, idx = sharded_topk_search(self.mesh, q, self.embeddings, k=k,

@@ -90,6 +90,20 @@ def test_quantized_index_full_ranking(data):
     np.testing.assert_allclose(vals, bv, atol=1e-5)
 
 
+def test_quantized_index_sharded_matches_single_device(data, eight_devices):
+    """int8 candidates sharded over an 8-device mesh + host re-rank equal
+    the single-device quantized search."""
+    queries, gallery = data
+    names = [f"g{i}" for i in range(len(gallery))]
+    single = EmbeddingIndex(gallery, names, quantized=True)
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    sharded = EmbeddingIndex(gallery, names, quantized=True, mesh=mesh)
+    v1, i1 = single.search(queries, k=10, block_size=256)
+    v2, i2 = sharded.search(queries, k=10, block_size=256)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
 def test_quantized_index_guards():
     g = np.eye(8, 16, dtype=np.float32)
     with pytest.raises(ValueError, match="cosine only"):
