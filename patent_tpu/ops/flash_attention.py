@@ -15,7 +15,8 @@ serving default (retrieval/cli_actions, bench.py) AND, via its custom VJP
 (recompute-softmax Pallas backward — nothing [S, S]-sized is ever stored),
 the training default (finetune/train_end towers): 60.2 vs 68.6 ms/step
 (+14%) on the ViT-B/16 fine-tune step, gradients exact vs the XLA
-composition in interpret mode.  The standalone q/k/v kernels remain
+composition in interpret mode and ≤5e-3 rel (the bf16 floor) vs an f32
+XLA chain on-device.  The standalone q/k/v kernels remain
 for sub-layer use (isolated-op win 1.74×, but their pack/pad boundary
 makes them lose in-model — use ``fused_block``, not ``use_flash``, when
 the whole sub-layer is available).  Accuracy vs an f32 XLA oracle at
