@@ -16,20 +16,54 @@ import jax
 import jax.numpy as jnp
 
 
-def normalize_adjacency(a: jax.Array) -> jax.Array:
+def normalize_adjacency(a: jax.Array, out_dtype=None) -> jax.Array:
     """Self-loops + symmetric D^{-1/2} A D^{-1/2} + re-symmetrization.
 
     Matches ``normalize_adjacency_dense_gpu`` (reference src/auxiliary.py:12-34).
+
+    ``out_dtype=jnp.bfloat16`` halves the resident N×N matrix — required at
+    the reference's full 2018 graph scale on v5e (a 44k-node f32 adjacency
+    is 7.7 GB and two copies exhaust 16 GB HBM); normalized entries are
+    ≤ 1, well inside bf16 range, and the GCN matmuls accumulate in f32.
     """
     a = a + jnp.eye(a.shape[0], dtype=a.dtype)
     row_sum = jnp.sum(a, axis=1)
     d_inv_sqrt = 1.0 / jnp.sqrt(1e-10 + row_sum)
     normalized = a * d_inv_sqrt[:, None] * d_inv_sqrt[None, :]
-    return (normalized + normalized.T) / 2.0
+    out = (normalized + normalized.T) / 2.0
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+def normalize_adjacency_host(a: "np.ndarray",
+                             out_dtype: str = "bfloat16") -> "np.ndarray":
+    """Host-side (numpy, in-place where possible) version of
+    ``normalize_adjacency`` for graphs too big to normalize on device: the
+    eager device path materializes several N×N f32 intermediates (a 44k
+    graph OOMs v5e HBM even though the bf16 RESULT fits comfortably), and
+    host→device traffic drops to the one bf16 upload."""
+    import ml_dtypes
+    import numpy as np
+
+    a = np.array(a, np.float32, copy=True)
+    np.fill_diagonal(a, a.diagonal() + 1.0)
+    d = 1.0 / np.sqrt(1e-10 + a.sum(axis=1))
+    a *= d[:, None]
+    a *= d[None, :]
+    # no (a + a.Tᵀ)/2 re-symmetrization here: adjacency inputs are symmetric
+    # by construction (graph_build emits A = blocks + blocksᵀ), so
+    # d_i·a_ij·d_j is already symmetric up to ~1e-7 FP noise — far below
+    # the bf16 rounding this path quantizes to — and the transposed add is
+    # a cache-hostile multi-minute pass at 44k nodes
+    return a.astype(ml_dtypes.bfloat16 if out_dtype == "bfloat16"
+                    else out_dtype)
 
 
 class GCNLayer(nn.Module):
-    """A_tilde @ (X @ W) with xavier init (reference src/models.py:187-197)."""
+    """A_tilde @ (X @ W) with xavier init (reference src/models.py:187-197).
+
+    A bf16 ``a_tilde`` runs the [N, N] matmul on the bf16 MXU with f32
+    accumulation (the dominant FLOPs at graph scale) — X·W stays f32 and is
+    cast down only for the A contraction."""
 
     features: int
 
@@ -38,7 +72,8 @@ class GCNLayer(nn.Module):
         kernel = self.param("kernel", nn.initializers.xavier_uniform(),
                             (x.shape[-1], self.features))
         xw = jnp.dot(x, kernel)             # [N, out]  (MXU)
-        return jnp.dot(a_tilde, xw)         # [N, out]  (MXU)
+        return jnp.dot(a_tilde, xw.astype(a_tilde.dtype),
+                       preferred_element_type=jnp.float32)
 
 
 class ResidualGCNEncoder(nn.Module):
@@ -53,15 +88,24 @@ class ResidualGCNEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, a_tilde: jax.Array,
                  *, deterministic: bool = True) -> jax.Array:
-        a = a_tilde / (jnp.sum(a_tilde, axis=1, keepdims=True) + 1e-8)
-        h = GCNLayer(self.hidden_dim, name="gcn_in")(x, a)
+        # the reference row-normalizes A on the fly (models.py:233).  Use
+        # (A @ Y) / rowsum instead of (A / rowsum) @ Y — same math, but no
+        # second N×N tensor is ever materialized (at 44k nodes that
+        # intermediate alone is 3.9-7.7 GB)
+        inv_row = 1.0 / (jnp.sum(a_tilde.astype(jnp.float32), axis=1,
+                                 keepdims=True) + 1e-8)
+
+        def gcn(feats, layer):
+            return layer(feats, a_tilde) * inv_row
+
+        h = gcn(x, GCNLayer(self.hidden_dim, name="gcn_in"))
         h = nn.BatchNorm(use_running_average=deterministic, name="bn_in")(h)
         h = nn.relu(h)
         for i in range(self.num_layers - 3):
-            hn = GCNLayer(self.hidden_dim, name=f"gcn_h{i}")(h, a)
+            hn = gcn(h, GCNLayer(self.hidden_dim, name=f"gcn_h{i}"))
             hn = nn.BatchNorm(use_running_average=deterministic, name=f"bn_h{i}")(hn)
             h = h + nn.relu(hn)
-        return GCNLayer(self.latent_dim, name="gcn_out")(h, a)
+        return gcn(h, GCNLayer(self.latent_dim, name="gcn_out"))
 
 
 class VGAE(nn.Module):

@@ -19,7 +19,8 @@ import numpy as np
 import optax
 
 from ..metrics.classification import confusion_counts, per_class_prf
-from ..models.gcn import EnhancedVGAE, normalize_adjacency
+from ..models.gcn import (EnhancedVGAE, normalize_adjacency,
+                          normalize_adjacency_host)
 from ..utils.config import GCNTrainConfig
 from ..utils.logging import MetricsLogger
 
@@ -33,7 +34,15 @@ def train_pair_classification(x: np.ndarray, adjacency: np.ndarray,
     logger = logger or MetricsLogger(print_every=20)
     rng = np.random.default_rng(cfg.seed)
 
-    a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
+    # bf16 adjacency above 16k nodes, normalized ON HOST: halves the
+    # resident N x N matrix, runs the A contraction at the bf16 MXU rate
+    # (f32 accumulation), and avoids the device-side normalize whose eager
+    # f32 intermediates OOM v5e at the reference's 44k-node scale
+    big = adjacency.shape[0] > 16384
+    if big:
+        a_tilde = jnp.asarray(normalize_adjacency_host(adjacency))
+    else:
+        a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
     x_dev = jnp.asarray(x, jnp.float32)
     model = EnhancedVGAE(hidden_dim=cfg.hidden_dim, latent_dim=cfg.latent_dim,
                          num_layers=cfg.num_layers)
@@ -161,7 +170,13 @@ def export_graph_embeddings(variables: dict, x: np.ndarray,
     the image index)."""
     model = EnhancedVGAE(hidden_dim=hidden_dim, latent_dim=latent_dim,
                          num_layers=num_layers)
-    a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
+    # bf16 adjacency above 16k nodes: halves the resident N x N matrix and
+    # runs the A contraction at the bf16 MXU rate (f32 accumulation) -- a
+    # 44k-node f32 adjacency alone is 7.7 GB, two copies exhaust v5e HBM
+    big = adjacency.shape[0] > 16384
+    a_tilde = normalize_adjacency(
+        jnp.asarray(adjacency, jnp.float32),
+        out_dtype=jnp.bfloat16 if big else None)
     z = model.apply({"params": variables["params"],
                      "batch_stats": variables["batch_stats"]},
                     jnp.asarray(x, jnp.float32), a_tilde, deterministic=True)

@@ -108,6 +108,43 @@ def test_normalize_adjacency_matches_reference_formula():
     np.testing.assert_allclose(np.asarray(n), np.asarray(n).T, atol=1e-7)
 
 
+def test_normalize_adjacency_host_matches_device():
+    """Host (numpy, in-place) normalize == device normalize, to bf16."""
+    from patent_tpu.models.gcn import normalize_adjacency_host
+
+    rng = np.random.default_rng(11)
+    a = (rng.random((40, 40)) < 0.2).astype(np.float32)
+    a = np.maximum(a, a.T)
+    want = np.asarray(normalize_adjacency(jnp.asarray(a),
+                                          out_dtype=jnp.bfloat16),
+                      np.float32)
+    got = np.asarray(normalize_adjacency_host(a), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_bf16_adjacency_close_to_f32():
+    """The big-graph memory path (bf16 A_tilde, f32 accumulation) tracks
+    the f32 encoder closely — normalized entries are ≤ 1, so the bf16
+    rounding is ~0.4% relative."""
+    rng = np.random.default_rng(9)
+    n = 64
+    a = (rng.random((n, n)) < 0.15).astype(np.float32)
+    a = np.maximum(a, a.T)
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    a32 = normalize_adjacency(jnp.asarray(a))
+    a16 = normalize_adjacency(jnp.asarray(a), out_dtype=jnp.bfloat16)
+    assert a16.dtype == jnp.bfloat16
+    model = EnhancedVGAE(hidden_dim=16, latent_dim=8)
+    pairs = jnp.asarray([[0, 1], [2, 3]])
+    variables = model.init(jax.random.key(0), jnp.asarray(x), a32, pairs,
+                           method=EnhancedVGAE.encode_and_classify)
+    z32 = model.apply(variables, jnp.asarray(x), a32)
+    z16 = model.apply(variables, jnp.asarray(x), a16)
+    err = np.max(np.abs(np.asarray(z32) - np.asarray(z16))) / (
+        np.max(np.abs(np.asarray(z32))) + 1e-9)
+    assert err < 3e-2, f"bf16 adjacency diverged: {err}"
+
+
 def test_vgae_shapes_and_reconstruction_range():
     rng = np.random.default_rng(3)
     n = 20
