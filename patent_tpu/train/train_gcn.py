@@ -170,13 +170,12 @@ def export_graph_embeddings(variables: dict, x: np.ndarray,
     the image index)."""
     model = EnhancedVGAE(hidden_dim=hidden_dim, latent_dim=latent_dim,
                          num_layers=num_layers)
-    # bf16 adjacency above 16k nodes: halves the resident N x N matrix and
-    # runs the A contraction at the bf16 MXU rate (f32 accumulation) -- a
-    # 44k-node f32 adjacency alone is 7.7 GB, two copies exhaust v5e HBM
-    big = adjacency.shape[0] > 16384
-    a_tilde = normalize_adjacency(
-        jnp.asarray(adjacency, jnp.float32),
-        out_dtype=jnp.bfloat16 if big else None)
+    # same big-graph policy as the trainer: host-side normalize + bf16
+    # upload (device-side f32 normalize OOMs at the 44k-node scale)
+    if adjacency.shape[0] > 16384:
+        a_tilde = jnp.asarray(normalize_adjacency_host(adjacency))
+    else:
+        a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
     z = model.apply({"params": variables["params"],
                      "batch_stats": variables["batch_stats"]},
                     jnp.asarray(x, jnp.float32), a_tilde, deterministic=True)
