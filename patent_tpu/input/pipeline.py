@@ -85,6 +85,19 @@ def decode_image_u8(path: str, image_size: int = IMAGE_SIZE
         return None
 
 
+def device_normalize(batch):
+    """CLIP-normalize a uint8 DEVICE batch inside a jit; float batches pass
+    through unchanged (assumed pre-normalized).  The single shared contract
+    for every ``out_dtype="u8"`` consumer (encode, scan encode, fine-tune
+    step) — the jit specializes per input dtype, so the branch is free."""
+    import jax.numpy as jnp
+
+    if batch.dtype == jnp.uint8:
+        batch = ((batch.astype(jnp.float32) / 255.0 - jnp.asarray(CLIP_MEAN))
+                 * jnp.asarray(1.0 / CLIP_STD))
+    return batch
+
+
 def normalize_array(img: np.ndarray, image_size: int = IMAGE_SIZE) -> np.ndarray:
     """Normalize an already-decoded [H, W, C] uint8/float array (no resize)."""
     if img.dtype == np.uint8:

@@ -85,7 +85,13 @@ def _one_pass_softmax_pv(q, k, v_ext, dp: int):
     s = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)                  # [Sp, Sp] f32
-    p = jnp.exp2(jnp.minimum(s, 80.0)).astype(v_ext.dtype)
+    # the LOWER clamp guards the no-max-subtract form's 0/0: if every score
+    # in a row sat below exp2's underflow point, p would be all-zero and the
+    # denominator 0 → NaN, which the residual stream then spreads to every
+    # token of later layers (pad-row junk queries are the realistic trigger).
+    # exp2(-100) ≈ 8e-31 is normal in f32 AND bf16, so den ≥ S·2⁻¹⁰⁰ > 0
+    # always; rows this degenerate produce (junk) finite output instead.
+    p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(v_ext.dtype)
     o_ext = jax.lax.dot_general(
         p, v_ext, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -258,9 +264,10 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
     dout @ Woutᵀ.  Outputs: dqkv [1, Sp, 3D] (in pre-scaled-q coordinates)
     and A [1, Sp, D] (recomputed head outputs, for dWout = Aᵀ dout).
 
-    The exp2 clamp at +80 is treated as exp2 everywhere (its gradient gate
-    would only zero junk pad-query rows, whose cotangents are already zero
-    from the caller's slice).
+    The exp2 clamp gradients are handled exactly: scores saturated at +80
+    get ds = 0 (a gated where — ungated they would inject ln2·dp·2⁸⁰);
+    scores clamped at −100 need no gate because p ≈ 2⁻¹⁰⁰ already
+    annihilates ds there.
     """
     ln2 = float(np.log(2.0))
     qkv = qkv_ref[0]                                     # [Sp, 3D] bf16
@@ -277,7 +284,7 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        p = jnp.exp2(jnp.minimum(s, 80.0)).astype(qkv.dtype)   # [Sp, Sp]
+        p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(qkv.dtype)  # [Sp,Sp]
         o_ext = jax.lax.dot_general(
             p, v_ext, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -291,7 +298,12 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
         dp = jax.lax.dot_general(
             dn_ext, v_ext, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = (ln2 * dp * p.astype(jnp.float32)).astype(qkv.dtype)
+        # gate the UPPER clamp: where s saturated at +80, dp/ds is 0 but
+        # p ≈ 2⁸⁰, so an ungated ln2·dp·p would inject huge wrong grads
+        # the moment a real logit saturates during fine-tuning.  The lower
+        # clamp needs no gate — p ≈ 2⁻¹⁰⁰ already zeroes ds there.
+        ds = jnp.where(s < 80.0, ln2 * dp * p.astype(jnp.float32),
+                       0.0).astype(qkv.dtype)
         dq = jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)

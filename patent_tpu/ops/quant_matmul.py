@@ -334,7 +334,10 @@ def _attn_sublayer_f32(x, lns, lnb, wqkv_ref, sqkv, bqkv, wout_ref, sout,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        p = jnp.exp2(jnp.minimum(s, 80.0)).astype(jnp.bfloat16)
+        # lower clamp: guards the 0/0 NaN when an (junk pad-query) row's
+        # scores all sit below exp2's underflow — see
+        # flash_attention._one_pass_softmax_pv
+        p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(jnp.bfloat16)
         o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
         heads.append(o_ext[:, :head_dim] / o_ext[:, head_dim:head_dim + 1])
     ao = jnp.concatenate(heads, axis=1)                    # [Sp, D] f32

@@ -29,16 +29,11 @@ def make_device_normalizing_encoder(apply_fn, params):
     (params are jit ARGUMENTS).  float32 batches pass through unnormalized
     (assumed pre-normalized), so the same encoder serves both input modes —
     the jit specializes per dtype."""
-    from ..input.pipeline import CLIP_MEAN, CLIP_STD
-
-    mean = jnp.asarray(CLIP_MEAN)
-    inv_std = jnp.asarray(1.0 / CLIP_STD)
+    from ..input.pipeline import device_normalize
 
     @jax.jit
     def encode(params, batch):
-        if batch.dtype == jnp.uint8:
-            batch = (batch.astype(jnp.float32) / 255.0 - mean) * inv_std
-        return apply_fn(params, batch)
+        return apply_fn(params, device_normalize(batch))
 
     return lambda batch: encode(params, batch)
 
@@ -53,17 +48,13 @@ def make_scan_encoder(apply_fn, params):
     dtype), pairing with ``ImageBatcher(out_dtype="u8")`` for 4× less
     host→device transfer.
     """
-    from ..input.pipeline import CLIP_MEAN, CLIP_STD
-
-    mean = jnp.asarray(CLIP_MEAN)
-    inv_std = jnp.asarray(1.0 / CLIP_STD)
+    from ..input.pipeline import device_normalize
 
     @jax.jit
     def scan_encode(params, batches):
         def body(_, b):
-            if b.dtype == jnp.uint8:   # normalize per scan step (fuses into
-                b = (b.astype(jnp.float32) / 255.0 - mean) * inv_std  # the conv)
-            return None, apply_fn(params, b)
+            # normalize per scan step (fuses into the patch conv)
+            return None, apply_fn(params, device_normalize(b))
         _, outs = jax.lax.scan(body, None, batches)
         return outs
 

@@ -149,16 +149,12 @@ def make_finetune_step(vit: VisionTransformer, head: AlignmentHead,
     arg so the step never recompiles across epochs).
     """
 
-    def loss_fn(params, images, node_idx, alpha):
-        if images.dtype == jnp.uint8:
-            # raw u8 batches (PairBatcher(out_dtype="u8")): CLIP-normalize
-            # on device — 4× less host→device transfer; the jit specializes
-            # per input dtype so f32 callers are unaffected
-            from ..input.pipeline import CLIP_MEAN, CLIP_STD
+    from ..input.pipeline import device_normalize
 
-            images = ((images.astype(jnp.float32) / 255.0
-                       - jnp.asarray(CLIP_MEAN))
-                      * jnp.asarray(1.0 / CLIP_STD))
+    def loss_fn(params, images, node_idx, alpha):
+        # raw u8 batches (PairBatcher(out_dtype="u8")) normalize on device —
+        # 4× less host→device transfer; f32 callers pass through
+        images = device_normalize(images)
         feats = vit.apply({"params": params["vit"]}, images)           # [2B, D]
         z, g, scale = head.apply({"params": params["head"]}, feats, node_idx)
         ce = multi_positive_nt_xent(z, scale)

@@ -381,10 +381,18 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         step = int(saved["step"])
         start_epoch = int(saved["epoch"]) + 1
         best_val = float(saved.get("best_val", best_val))
-        # the restored params are the best candidate we actually hold — never
-        # leave best_params at the random init (a resumed run that never beats
-        # the saved best_val would otherwise return untrained params)
-        best_params = params
+        # restore the TRUE best params from the best checkpoint when it
+        # exists — a resumed run that never improves must return the same
+        # weights an uninterrupted run would have (latest ≠ best once val
+        # has plateaued); fall back to the restored latest params, never
+        # the random init
+        best_name = (f"best_retrieval_model_c{cfg.curvature}"
+                     f"_e{cfg.embed_dim}")
+        if ckpt.exists(best_name):
+            best_params = jax.tree.map(
+                jnp.asarray, ckpt.restore(best_name)["params"])
+        else:
+            best_params = params
         patience_left = int(saved.get("patience_left", patience_left))
         # bit-reproducible resume: restore the host batch RNG and the jax
         # dropout key stream so epoch k+1 after resume equals epoch k+1 of an

@@ -129,6 +129,16 @@ class CheckpointManager:
         path = os.path.join(self.directory, name)
         if self.use_orbax:
             return self._ckptr.restore(os.path.abspath(path), target)
+        if not os.path.exists(os.path.join(path, "manifest.json")):
+            # pre-manifest layouts (keystr npz + state.pkl) are not loaded:
+            # unpickling checkpoints is the arbitrary-code-execution surface
+            # this format replaced.  Fail with the migration story instead
+            # of a bare FileNotFoundError mid-resume.
+            raise RuntimeError(
+                f"checkpoint {path!r} uses a pre-manifest layout (no "
+                "manifest.json); re-save it with this version (load the "
+                "legacy state.pkl yourself IF you trust its origin, then "
+                "CheckpointManager.save), or delete it to start fresh")
         with np.load(os.path.join(path, "state.npz")) as npz:
             with open(os.path.join(path, "manifest.json")) as f:
                 manifest = json.load(f)

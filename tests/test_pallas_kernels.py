@@ -141,6 +141,43 @@ def test_fused_attention_block_matches_xla(rng):
                                atol=2e-3, rtol=2e-2)
 
 
+def test_one_pass_softmax_no_nan_on_underflow_rows(rng):
+    """A query row whose scores ALL underflow exp2 must produce finite
+    output (the no-max-subtract form would otherwise hit 0/0 and the NaN
+    would cascade through the residual stream of a pre-padded stack)."""
+    from patent_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, hd = 1, 13, 2, 16
+    q = jnp.full((b, s, h, hd), 40.0, jnp.float32)
+    k = jnp.full((b, s, h, hd), -40.0, jnp.float32)   # all scores ≈ -6400
+    v = jnp.asarray(rng.standard_normal((b, s, h, hd)), jnp.float32)
+    out = flash_attention(q, k, v, force=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_attention_block_grads_finite_at_clamp_saturation(rng):
+    """Scores saturating the +80 clamp must yield finite, bounded grads
+    (ungated, ds would carry a ln2·dp·2^80 factor)."""
+    from patent_tpu.ops.flash_attention import fused_attention_block
+
+    b, s, h, hd = 1, 13, 2, 16
+    d = h * hd
+    x = jnp.full((b, s, d), 8.0, jnp.float32)      # huge logits after proj
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)), jnp.float32)
+    bqkv = jnp.zeros((3 * d,), jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+    bout = jnp.zeros((d,), jnp.float32)
+
+    def loss(args):
+        return jnp.sum(fused_attention_block(*args, num_heads=h, force=True))
+
+    g = jax.grad(loss)((x, wqkv, bqkv, wout, bout))
+    for t in g:
+        arr = np.asarray(t)
+        assert np.isfinite(arr).all()
+        assert np.max(np.abs(arr)) < 1e8, "clamp-saturated grads blew up"
+
+
 def test_fused_attention_block_grads_match_xla(rng):
     """custom_vjp (Pallas fwd + recompute-softmax Pallas bwd) vs plain
     autodiff through the XLA fallback — every input's gradient."""
