@@ -103,6 +103,18 @@ def _ensure_graph(path: str, synthetic: bool):
 
 
 def main(argv: list[str] | None = None) -> int:
+    # PATENT_TPU_PLATFORM=cpu forces the CPU backend (this environment's
+    # TPU plugin force-registers itself and IGNORES the standard
+    # JAX_PLATFORMS env var, so data-prep/eval CLI runs would otherwise
+    # grab the TPU lease); must run before any backend initialization
+    plat = os.environ.get("PATENT_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+        ndev = os.environ.get("PATENT_TPU_CPU_DEVICES")
+        if plat == "cpu" and ndev:
+            jax.config.update("jax_num_cpu_devices", int(ndev))
     args = build_parser().parse_args(argv)
     from ..utils.compile_cache import enable_compilation_cache
 
@@ -276,8 +288,9 @@ def main(argv: list[str] | None = None) -> int:
         engine = RetrievalEngine(encode, batch_size=32,
                                  image_size=image_size, num_workers=4,
                                  input_dtype="u8")
+        tag = "_int8" if args.quantize else ""
         prefix = os.path.join(args.path, "embeddings",
-                              f"index_{os.path.basename(gallery_dir)}")
+                              f"index_{os.path.basename(gallery_dir)}{tag}")
         if os.path.exists(prefix + ".npy"):
             engine.load_embeddings(prefix)
         else:

@@ -71,26 +71,125 @@ def synthetic_features(records: Sequence[FigureRecord], dim: int = 64,
     return out
 
 
-def write_synthetic_images(records: Sequence[FigureRecord], root: str,
-                           image_size: int = 64, seed: int = 0,
-                           noise: int = 20) -> list[str]:
-    """Write PNG figures (same-patent figures share a base drawing) and the
-    metadata JSON; returns written image paths."""
-    from PIL import Image
+def synthetic_drawing_arrays(n: int, size: int = 224, seed: int = 0,
+                             line_width: float = 0.10) -> np.ndarray:
+    """[n, size, size, 3] float32 in [0, 1]: patent-drawing-like line art.
+
+    Real DeepPatent figures are near-binary — white paper, thin black
+    strokes — with activation statistics nothing like Gaussian noise (sparse
+    dark pixels, long runs of saturated white).  Thin curvy strokes are
+    produced as level-set bands of smoothed random fields (|f| < eps traces
+    the zero contour, a collection of smooth curves), plus an axis-aligned
+    frame box like a figure border.  Vectorized numpy; used by bench.py's
+    int8-fidelity probe and tests/test_vit_int8.py so quantization quality
+    is attested on the serving input distribution (retrieval.ipynb cell 2's
+    corpus), not on noise.
+    """
+    def box1d(x: np.ndarray, k: int, axis: int) -> np.ndarray:
+        """Moving average, window 2k+1, edge-padded, via cumsum."""
+        pad_width = [(0, 0)] * x.ndim
+        pad_width[axis] = (k, k)
+        xp = np.pad(x, pad_width, mode="edge")
+        zero_shape = list(xp.shape)
+        zero_shape[axis] = 1
+        c = np.concatenate([np.zeros(zero_shape, x.dtype),
+                            np.cumsum(xp, axis=axis, dtype=np.float32)], axis)
+        m = x.shape[axis]
+        hi = np.take(c, np.arange(m) + 2 * k + 1, axis=axis)
+        lo = np.take(c, np.arange(m), axis=axis)
+        return (hi - lo) / np.float32(2 * k + 1)
 
     rng = np.random.default_rng(seed)
+    low_res = size // 8 + 1
+    canvas = np.ones((n, size, size), np.float32)
+    for _ in range(2):  # two independent stroke fields per image
+        field = rng.standard_normal((n, low_res, low_res)).astype(np.float32)
+        up = np.repeat(np.repeat(field, 8, axis=1), 8, axis=2)[:, :size, :size]
+        smooth = box1d(box1d(up, 9, 1), 9, 2)
+        band = np.abs(smooth) < line_width * smooth.std(axis=(1, 2),
+                                                        keepdims=True)
+        canvas = np.where(band, 0.0, canvas)
+    # figure border frame (2px) at a random inset per image
+    inset = rng.integers(4, 20, n)
+    for i in range(n):
+        a = int(inset[i])
+        b = size - a
+        canvas[i, a:a + 2, a:b] = 0.0
+        canvas[i, b - 2:b, a:b] = 0.0
+        canvas[i, a:b, a:a + 2] = 0.0
+        canvas[i, a:b, b - 2:b] = 0.0
+    return np.repeat(canvas[..., None], 3, axis=-1)
+
+
+def _entity_rng(seed: int, kind: str, name: str) -> np.random.Generator:
+    """Deterministic per-entity RNG: the same (seed, entity) yields the same
+    stream no matter how many or in what order entities were generated
+    before it.  This makes query/gallery splits written by SEPARATE calls
+    consistent by construction — a shared patent draws the same base
+    drawing in both — which sequential-rng generation silently broke
+    (the two calls desynchronize after the first patent)."""
+    import zlib
+
+    return np.random.default_rng(
+        np.random.SeedSequence([seed, zlib.crc32(kind.encode()),
+                                zlib.crc32(name.encode())]))
+
+
+def write_synthetic_images(records: Sequence[FigureRecord], root: str,
+                           image_size: int = 64, seed: int = 0,
+                           noise: int = 20, hard: bool = False) -> list[str]:
+    """Write PNG figures (same-patent figures share a base drawing) and the
+    metadata JSON; returns written image paths.
+
+    ``hard=False`` (default): each patent gets an independent random base
+    drawing — trivially separable, good for convergence tests.
+
+    ``hard=True``: realistic confusability, mirroring the published
+    mid-range numbers of the reference eval (retrieval.ipynb cell 4, MRR
+    0.820 / mAP 0.140 — far from saturation).  Patents sharing a medium-CPC
+    subclass derive from ONE subclass base drawing with only a modest
+    per-patent delta, while per-figure noise is comparable to that delta —
+    so same-subclass distractors are near-duplicates of true positives and
+    ranking errors become possible.  Used by the retrieval eval corpus so
+    the committed golden metrics sit mid-range and can DETECT
+    ranking-quality drift (an all-1.0 golden cannot).
+    """
+    from PIL import Image
+
     os.makedirs(root, exist_ok=True)
     bases: dict[str, np.ndarray] = {}
+    sub_bases: dict[str, np.ndarray] = {}
     paths = []
     for r in records:
         if r.patent_id not in bases:
-            bases[r.patent_id] = rng.integers(0, 255,
-                                              (image_size, image_size, 3),
-                                              np.int64)
-        img = np.clip(bases[r.patent_id] +
-                      rng.integers(-noise, noise + 1,
-                                   (image_size, image_size, 3)),
-                      0, 255).astype(np.uint8)
+            if hard:
+                if r.medium_cpc not in sub_bases:
+                    sub_bases[r.medium_cpc] = _entity_rng(
+                        seed, "sub", r.medium_cpc).integers(
+                        0, 255, (image_size, image_size, 3), np.int64)
+                # small per-patent delta off the shared subclass drawing
+                bases[r.patent_id] = np.clip(
+                    sub_bases[r.medium_cpc]
+                    + _entity_rng(seed, "pat", r.patent_id).normal(
+                        0.0, 18.0, (image_size, image_size, 3)),
+                    0, 255)
+            else:
+                bases[r.patent_id] = _entity_rng(
+                    seed, "pat", r.patent_id).integers(
+                    0, 255, (image_size, image_size, 3), np.int64)
+        frng = _entity_rng(seed, "fig", r.figure_id)
+        if hard:
+            # figure noise on the order of the patent delta: same-subclass
+            # neighbours are genuinely confusable with same-patent positives
+            img = np.clip(bases[r.patent_id]
+                          + frng.normal(0.0, 28.0,
+                                        (image_size, image_size, 3)),
+                          0, 255).astype(np.uint8)
+        else:
+            img = np.clip(bases[r.patent_id] +
+                          frng.integers(-noise, noise + 1,
+                                        (image_size, image_size, 3)),
+                          0, 255).astype(np.uint8)
         path = os.path.join(root, r.figure_id)
         Image.fromarray(img).save(path)
         paths.append(path)

@@ -45,6 +45,20 @@ def normalize_adjacency_host(a: "np.ndarray",
     import numpy as np
 
     a = np.array(a, np.float32, copy=True)
+    # cheap symmetry spot-check: this path SKIPS the (A+Aᵀ)/2 pass the
+    # device path performs (symmetric inputs make it redundant, see below),
+    # so a non-symmetric adjacency must fail loudly instead of silently
+    # diverging from normalize_adjacency once the graph crosses the
+    # host-path size threshold in train_gcn
+    n = a.shape[0]
+    rng = np.random.default_rng(0)
+    ii = rng.integers(0, n, 256)
+    jj = rng.integers(0, n, 256)
+    if not np.allclose(a[ii, jj], a[jj, ii], atol=1e-5):
+        raise ValueError(
+            "normalize_adjacency_host requires a symmetric adjacency "
+            "(it skips the re-symmetrization pass); symmetrize first or "
+            "use normalize_adjacency")
     np.fill_diagonal(a, a.diagonal() + 1.0)
     d = 1.0 / np.sqrt(1e-10 + a.sum(axis=1))
     a *= d[:, None]

@@ -46,6 +46,37 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
+# exp2-domain score clamp used by every kernel here.  +80 ≈ 55.4 nats: far
+# above any healthy attention logit (CLIP-scale models peak around 10-20
+# nats), but REACHABLE under attention entropy collapse during fine-tuning —
+# and the backward deliberately zeroes the gradient of saturated scores, so
+# saturation silently stops learning through those heads.  Use
+# ``attention_saturation`` to make it observable.
+SCORE_CLAMP_LO = -100.0
+SCORE_CLAMP_HI = 80.0
+
+
+def attention_saturation(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                         num_heads: int) -> jax.Array:
+    """Max pre-clamp exp2-domain attention score for one block — compare
+    against ``SCORE_CLAMP_HI`` to detect (approaching) saturation.
+
+    ``x``: the block's post-LN activations [B, S, D]; weights as passed to
+    ``fused_attention_block``.  Cheap enough to run on a small probe batch
+    every N steps during fine-tuning; a value within ~2× of the clamp means
+    the +80 limit is biting (or about to) and those heads' gradients are
+    being zeroed (see the gated backward in ``_fab_bwd_kernel``).
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    qkv = x @ wqkv + bqkv.reshape(-1)
+    q = qkv[..., :d].reshape(b, s, num_heads, head_dim)
+    k = qkv[..., d:2 * d].reshape(b, s, num_heads, head_dim)
+    scale2 = float(np.log2(np.e) / np.sqrt(head_dim))
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale2, k)
+    return jnp.max(scores)
+
+
 def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
@@ -91,7 +122,7 @@ def _one_pass_softmax_pv(q, k, v_ext, dp: int):
     # token of later layers (pad-row junk queries are the realistic trigger).
     # exp2(-100) ≈ 8e-31 is normal in f32 AND bf16, so den ≥ S·2⁻¹⁰⁰ > 0
     # always; rows this degenerate produce (junk) finite output instead.
-    p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(v_ext.dtype)
+    p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)).astype(v_ext.dtype)
     o_ext = jax.lax.dot_general(
         p, v_ext, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -284,7 +315,7 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(qkv.dtype)  # [Sp,Sp]
+        p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)).astype(qkv.dtype)  # [Sp,Sp]
         o_ext = jax.lax.dot_general(
             p, v_ext, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -302,7 +333,7 @@ def _attn_bwd_kernel(qkv_ref, da_ref, dqkv_ref, a_ref, *, seq_len: int,
         # p ≈ 2⁸⁰, so an ungated ln2·dp·p would inject huge wrong grads
         # the moment a real logit saturates during fine-tuning.  The lower
         # clamp needs no gate — p ≈ 2⁻¹⁰⁰ already zeroes ds there.
-        ds = jnp.where(s < 80.0, ln2 * dp * p.astype(jnp.float32),
+        ds = jnp.where(s < SCORE_CLAMP_HI, ln2 * dp * p.astype(jnp.float32),
                        0.0).astype(qkv.dtype)
         dq = jax.lax.dot_general(
             ds, k, dimension_numbers=(((1,), (0,)), ((), ())),

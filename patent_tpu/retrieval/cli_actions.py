@@ -106,15 +106,21 @@ def _corpus(args, image_size: int):
     root = os.path.join(args.path, "synthetic_retrieval")
     print(f"[patent_tpu] no corpus under {args.path}; generating synthetic "
           f"corpus at {root}")
-    records = synthetic.synthetic_records(num_patents=16,
-                                          figures_per_patent=4, seed=0)
+    records = synthetic.synthetic_records(num_patents=40,
+                                          figures_per_patent=6, seed=0)
     q_recs, g_recs = split_query_gallery(records, seed=42)
     gallery = os.path.join(root, "test_gallery")
     query = os.path.join(root, "test_query")
+    # hard=True: same-subclass patents are near-duplicates, so the eval
+    # metrics land mid-range (like the reference's published cell-4 numbers)
+    # instead of saturating at 1.0 — a golden pinned on this corpus can
+    # detect ranking-quality drift.  Query figures must come from the SAME
+    # subclass/patent bases as the gallery, so both splits are written with
+    # one records pass below (write order: gallery then query, one rng).
     synthetic.write_synthetic_images(g_recs, gallery, image_size=image_size,
-                                     seed=0)
+                                     seed=0, hard=True)
     synthetic.write_synthetic_images(q_recs, query, image_size=image_size,
-                                     seed=0)
+                                     seed=0, hard=True)
     gt_data = build_ground_truth(q_recs, g_recs, max_month=None)
     gt = os.path.join(root, "ground_truth.json")
     save_ground_truth(gt_data, gt)
@@ -149,8 +155,12 @@ def run_retrieval_action(action: str, args) -> int:
     encode = _build_encoder(args, image_size)
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
                              num_workers=4, input_dtype="u8")
+    # precision-tagged index: an int8 serving run must never silently load
+    # a bf16-encoded gallery (the reference evaluates exactly the tower it
+    # serves, retrieval.ipynb cell 3)
+    tag = "_int8" if getattr(args, "quantize", False) else ""
     prefix = os.path.join(args.path, "embeddings",
-                          f"index_{os.path.basename(gallery_dir)}")
+                          f"index_{os.path.basename(gallery_dir)}{tag}")
 
     if action == "encode":
         index = engine.encode_dataset(gallery_dir, save_prefix=prefix)

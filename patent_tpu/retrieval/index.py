@@ -33,6 +33,12 @@ from ..ops import poincare
 
 Similarity = Literal["cosine", "dot", "poincare"]
 
+# candidate-pool over-fetch factor for the quantized (int8 stage + exact
+# re-rank) searches; EmbeddingIndex.search's sharded-vs-host dispatch uses
+# the SAME constant so changing it can't desynchronize the dispatch
+# condition from the actual pool size
+DEFAULT_RERANK_MULT = 8
+
 
 def _scores_block(queries: jax.Array, gallery: jax.Array, similarity: Similarity,
                   c: float) -> jax.Array:
@@ -161,7 +167,8 @@ def _topk_scores_int8(queries: jax.Array, gal_i8: jax.Array,
 
 def topk_search_quantized(queries, gal_i8: jax.Array, gal_scale: jax.Array,
                           gallery_f32: np.ndarray, k: int = 10,
-                          block_size: int = 8192, rerank_mult: int = 8
+                          block_size: int = 8192,
+                          rerank_mult: int = DEFAULT_RERANK_MULT
                           ) -> tuple[np.ndarray, np.ndarray]:
     """Exact cosine top-k with int8 candidate generation + f32 re-rank.
 
@@ -204,7 +211,7 @@ def sharded_topk_search_quantized(mesh: Mesh, queries,
                                   gal_i8: jax.Array, gal_scale: jax.Array,
                                   gallery_f32: np.ndarray, k: int = 10,
                                   block_size: int = 8192,
-                                  rerank_mult: int = 8,
+                                  rerank_mult: int = DEFAULT_RERANK_MULT,
                                   axis: str = "data"
                                   ) -> tuple[np.ndarray, np.ndarray]:
     """Quantized candidate search with the int8 gallery row-sharded over
@@ -338,7 +345,8 @@ class EmbeddingIndex:
         q = jnp.asarray(queries)
         k = min(k, len(self.names))
         if self.quantized:
-            if self.mesh is not None and k * 8 < len(self.names):
+            if (self.mesh is not None
+                    and k * DEFAULT_RERANK_MULT < len(self.names)):
                 vals, idx = sharded_topk_search_quantized(
                     self.mesh, q, self.emb_i8, self.emb_scale, self._emb_np,
                     k=k, block_size=block_size, axis=self.axis)

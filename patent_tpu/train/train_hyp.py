@@ -205,16 +205,26 @@ def make_batches(td: TrainingData, indices: np.ndarray, batch_size: int,
                        valid=valid)
 
 
-def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
-                    cfg: HypTrainConfig, num_real_labels: int | None = None):
-    """Build the jitted step.  ``x_figures`` / ``implication`` / ``exclusion``
-    are jit ARGUMENTS (device-resident), never closure constants — closed-over
-    arrays are baked into the HLO and can overflow compile payload limits.
+def stack_epoch_batches(packed: PackedSupervision, slots: np.ndarray,
+                        batch_size: int, num_neg: int,
+                        rng: np.random.Generator):
+    """One epoch of batches as stacked [nb, ...] arrays for the epoch-scan
+    step (``make_epoch_step``) — same sampling semantics (and the same host
+    RNG stream) as ``make_batches_packed``, just materialized up front so
+    the WHOLE epoch ships to the device in one transfer and runs in one
+    dispatch.  Returns None when the split yields no batches."""
+    batches = list(make_batches_packed(packed, slots, batch_size, num_neg,
+                                       rng))
+    if not batches:
+        return None
+    return tuple(
+        np.stack([getattr(b, f) for b in batches])
+        for f in ("figure_idx", "pos_patent", "neg_patents",
+                  "pair_b_figure", "pair_label", "valid"))
 
-    ``num_real_labels``: when the label table is zero-padded to a mesh-axis
-    multiple for row sharding (parallel/sharded_train.py), pass the real row
-    count so the dist0-band regularizer ignores the padding — the loss then
-    equals the unpadded single-device loss exactly."""
+
+def _make_loss_fn(model: HyperbolicEmbeddingModel, cfg: HypTrainConfig,
+                  num_real_labels: int | None = None):
     c = cfg.curvature
 
     def loss_fn(params, batch_arrays, key, x_figures, implication, exclusion,
@@ -269,6 +279,21 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
                    "figure_pair_loss": figure_pair_loss}
         return total, metrics
 
+    return loss_fn
+
+
+def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
+                    cfg: HypTrainConfig, num_real_labels: int | None = None):
+    """Build the jitted step.  ``x_figures`` / ``implication`` / ``exclusion``
+    are jit ARGUMENTS (device-resident), never closure constants — closed-over
+    arrays are baked into the HLO and can overflow compile payload limits.
+
+    ``num_real_labels``: when the label table is zero-padded to a mesh-axis
+    multiple for row sharding (parallel/sharded_train.py), pass the real row
+    count so the dist0-band regularizer ignores the padding — the loss then
+    equals the unpadded single-device loss exactly."""
+    loss_fn = _make_loss_fn(model, cfg, num_real_labels)
+
     @jax.jit
     def train_step(params, opt_state, batch_arrays, key,
                    x_figures, implication, exclusion):
@@ -290,6 +315,66 @@ def make_train_step(model: HyperbolicEmbeddingModel, optimizer,
         return metrics
 
     return train_step, eval_step
+
+
+def make_epoch_step(model: HyperbolicEmbeddingModel, optimizer,
+                    cfg: HypTrainConfig, num_real_labels: int | None = None):
+    """Whole-epoch jitted steps: ``lax.scan`` over the stacked batch arrays
+    (``stack_epoch_batches``), so one epoch = ONE device dispatch.
+
+    This is what closes the gap between device capacity and composed wall
+    time: per-step host dispatch through a high-latency link costs ~10-15 ms
+    per train_step call while the device step itself is ~0.9 ms — a
+    host-looped reference-scale epoch ran at ~5% of device capacity
+    (improves on the reference's per-batch Python generator,
+    src/train.py:1286-1358).  With the epoch scan, wall time per epoch is
+    host sampling (vectorized numpy, ~ms) + one transfer of [nb, B] int32
+    index arrays (tiny) + the pure device time.
+
+    Returns (train_epoch, eval_epoch):
+      train_epoch(params, opt_state, epoch_arrays, key, x_figures,
+                  implication, exclusion) -> (params, opt_state,
+                  summed_metrics) — metrics are summed over the epoch's
+                  batches (divide by nb on host);
+      eval_epoch(params, epoch_arrays, x_figures, implication, exclusion)
+                  -> summed_metrics.
+    """
+    loss_fn = _make_loss_fn(model, cfg, num_real_labels)
+
+    @jax.jit
+    def train_epoch(params, opt_state, epoch_arrays, key,
+                    x_figures, implication, exclusion):
+        nb = epoch_arrays[0].shape[0]
+
+        def body(carry, inp):
+            p, o = carry
+            batch_arrays, i = inp
+            sub = jax.random.fold_in(key, i)
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, batch_arrays, sub, x_figures,
+                                       implication, exclusion)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            updates, o = optimizer.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o), metrics
+
+        (params, opt_state), seq = jax.lax.scan(
+            body, (params, opt_state), (epoch_arrays, jnp.arange(nb)))
+        return params, opt_state, jax.tree.map(
+            lambda m: jnp.sum(m, axis=0), seq)
+
+    @jax.jit
+    def eval_epoch(params, epoch_arrays, x_figures, implication, exclusion):
+        def body(_, batch_arrays):
+            _, metrics = loss_fn(params, batch_arrays, jax.random.key(0),
+                                 x_figures, implication, exclusion,
+                                 deterministic=True)
+            return None, metrics
+
+        _, seq = jax.lax.scan(body, None, epoch_arrays)
+        return jax.tree.map(lambda m: jnp.sum(m, axis=0), seq)
+
+    return train_epoch, eval_epoch
 
 
 def _rng_state_bytes(rng: np.random.Generator) -> np.ndarray:
@@ -338,7 +423,7 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
     # jit requires a concrete array: empty exclusion set → [0, 2] array
     exclusion = jax.device_put(jnp.asarray(
         td.exclusion if td.exclusion.size else np.zeros((0, 2), np.int32)))
-    train_step, eval_step = make_train_step(model, optimizer, cfg)
+    train_epoch_fn, eval_epoch_fn = make_epoch_step(model, optimizer, cfg)
 
     # 0.8/0.1/0.1 split over figures with supervision (train.py:1271-1284)
     maps = figure_pair_maps(td)
@@ -406,27 +491,22 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         logger.log(step, {"resumed_from_epoch": start_epoch - 1},
                    force_print=True)
     for epoch in range(start_epoch, cfg.epochs + 1):
-        # accumulate metrics ON DEVICE: per-step float() fetches round-trip
-        # the host↔device link and dominate wall time on high-latency links
-        # (measured 180 ms/step vs a 2.2 ms device step through the tunnel)
-        metric_acc = None
-        nb = 0
-        for batch in make_batches_packed(packed, packed.slots_for(train_idx),
-                                         cfg.batch_size,
-                                         cfg.num_neg_samples, rng):
-            key, sub = jax.random.split(key)
-            params, opt_state, metrics = train_step(
-                params, opt_state, _batch_arrays(batch), sub,
-                x_figures, implication, exclusion)
-            nb += 1
-            step += 1
-            metric_acc = metrics if metric_acc is None else jax.tree.map(
-                jnp.add, metric_acc, metrics)
-            if logger.print_every and step % (10 * logger.print_every) == 0:
-                logger.log(step, {k: float(v) for k, v in metrics.items()},
-                           prefix="batch_")
-        if nb == 0:
+        # the whole epoch runs as ONE device dispatch (make_epoch_step):
+        # per-step dispatch through a high-latency link costs ~10-15 ms vs a
+        # ~0.9 ms device step, so the host-looped variant ran at ~5% of
+        # device capacity; sampling stays on host (same RNG stream as the
+        # per-batch generator) and ships as one [nb, B] index transfer
+        arrays = stack_epoch_batches(packed, packed.slots_for(train_idx),
+                                     cfg.batch_size, cfg.num_neg_samples,
+                                     rng)
+        if arrays is None:
             raise RuntimeError("no usable training batches")
+        nb = arrays[0].shape[0]
+        key, sub = jax.random.split(key)
+        params, opt_state, metric_acc = train_epoch_fn(
+            params, opt_state, tuple(jnp.asarray(a) for a in arrays), sub,
+            x_figures, implication, exclusion)
+        step += nb
         epoch_metrics = {k: float(v) for k, v in metric_acc.items()}
         train_loss = epoch_metrics["total_loss"] / nb
         if not np.isfinite(train_loss):
@@ -436,17 +516,17 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
                 "reduce learning_rate or check input feature scale")
 
         # validation epoch (same batcher over val split, no grads)
-        val_acc = None
-        vb = 0
-        for batch in make_batches_packed(packed, packed.slots_for(val_idx),
+        val_arrays = stack_epoch_batches(packed, packed.slots_for(val_idx),
                                          cfg.batch_size,
-                                         cfg.num_neg_samples, rng):
-            metrics = eval_step(params, _batch_arrays(batch),
-                                x_figures, implication, exclusion)
-            vb += 1
-            val_acc = metrics if val_acc is None else jax.tree.map(
-                jnp.add, val_acc, metrics)
-        val_loss = (float(val_acc["total_loss"]) / vb) if vb else train_loss
+                                         cfg.num_neg_samples, rng)
+        if val_arrays is not None:
+            vb = val_arrays[0].shape[0]
+            val_acc = eval_epoch_fn(params,
+                                    tuple(jnp.asarray(a) for a in val_arrays),
+                                    x_figures, implication, exclusion)
+            val_loss = float(val_acc["total_loss"]) / vb
+        else:
+            val_loss = train_loss
 
         history["train_loss"].append(train_loss)
         history["val_loss"].append(val_loss)

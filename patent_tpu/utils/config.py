@@ -87,7 +87,15 @@ class GCNTrainConfig:
 
 @dataclasses.dataclass
 class ClipFinetuneConfig:
-    """CLIP fine-tune with graph alignment (retrieval.ipynb cell 20)."""
+    """CLIP fine-tune with graph alignment (retrieval.ipynb cell 20).
+
+    Note: the fused-attention tower clamps exp2-domain attention scores at
+    +80 (≈55 nats) and zeroes the gradient of saturated scores
+    (ops/flash_attention.SCORE_CLAMP_HI).  Healthy logits sit 3-5× below
+    that, but if fine-tuning drives attention entropy collapse, learning
+    through saturated heads silently stops — probe periodically with
+    ``ops.flash_attention.attention_saturation`` if val loss plateaus
+    unexpectedly."""
 
     epochs: int = 8
     batch_size: int = 64           # anchors per batch (2B images on device)

@@ -155,6 +155,32 @@ def test_one_pass_softmax_no_nan_on_underflow_rows(rng):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_attention_saturation_probe(rng):
+    """The saturation observable must (a) report max pre-clamp score in the
+    same exp2 domain the kernels clamp in, (b) flag a saturating block and
+    clear a healthy one."""
+    from patent_tpu.ops.flash_attention import (SCORE_CLAMP_HI,
+                                                attention_saturation)
+
+    b, s, h, hd = 2, 13, 2, 16
+    d = h * hd
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.zeros((3 * d,), jnp.float32)
+    healthy = jnp.asarray(rng.standard_normal((b, s, d)) * 0.5, jnp.float32)
+    sat = jnp.full((b, s, d), 40.0, jnp.float32)
+    m_healthy = float(attention_saturation(healthy, wqkv, bqkv, h))
+    m_sat = float(attention_saturation(sat, wqkv, bqkv, h))
+    assert m_healthy < SCORE_CLAMP_HI / 2
+    assert m_sat > SCORE_CLAMP_HI
+    # exact domain check vs a direct einsum
+    qkv = healthy @ wqkv + bqkv
+    q = qkv[..., :d].reshape(b, s, h, hd)
+    k = qkv[..., d:2 * d].reshape(b, s, h, hd)
+    want = float(jnp.max(jnp.einsum("bqhd,bkhd->bhqk", q, k))
+                 * np.log2(np.e) / np.sqrt(hd))
+    assert m_healthy == pytest.approx(want, rel=1e-5)
+
+
 def test_fused_attention_block_grads_finite_at_clamp_saturation(rng):
     """Scores saturating the +80 clamp must yield finite, bounded grads
     (ungated, ds would carry a ln2·dp·2^80 factor)."""
