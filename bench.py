@@ -1,14 +1,35 @@
 #!/usr/bin/env python3
-"""Headline benchmark — prints ONE JSON line.
+"""Headline benchmark — prints ONE JSON line (possibly several times,
+each a complete, progressively richer result; consumers take the LAST line).
 
 Measures the framework's serving-critical paths on the attached TPU chip
 (BASELINE.json targets: ≥10k images/sec/chip ViT-B/16 embed; ≥1k QPS exact
 top-10 over a 1M-vector index; recall parity):
 
-  * ``embed_images_per_sec``   — ViT-B/16 bf16 batched image-feature forward
-  * ``topk_qps``               — exact cosine top-10, 1M×512 gallery
-  * ``poincare_topk_qps``      — exact hyperbolic top-10 (the train_hyp head)
-  * ``recall_parity``          — blockwise TPU top-10 vs numpy brute force
+  * embed throughput          — ViT-B/16 image-feature forward, int8 PTQ
+                                (production serving config) and bf16
+  * topk QPS                  — exact cosine top-10, 1M×512 gallery
+  * poincare topk QPS         — exact hyperbolic top-10 (the train_hyp head)
+  * recall parity             — blockwise TPU top-10 vs numpy brute force
+  * hyp-train steps/sec       — train_hyp full step at reference scale
+
+Driver-budget design (the round-2 artifact recorded rc=124/parsed=null
+because one JSON print sat behind ~24 min of serial sections):
+
+  1. The headline JSON is printed IMMEDIATELY after the embed section
+     (~3-5 min warm); every later section re-prints a complete line with
+     its extras added.  A timeout mid-run still leaves a parsed headline.
+  2. A global deadline (env ``PATENT_BENCH_DEADLINE_S``, default 480 s)
+     skips any section whose estimated cost no longer fits; skipped
+     sections are listed in ``extras["skipped"]``.
+  3. The wedged-lease watchdog is capped at one 90 s probe + one 90 s
+     retry (≤3 min), and the fallback line is emitted instantly on failure.
+  4. Throughput sections repeat the measurement 3× and report
+     median + [min, max] (``*_spread``): the tunnel shows ±6% run-to-run
+     wobble that a single sample cannot distinguish from a regression.
+  5. The 1M galleries are generated ON DEVICE (jax.random) — no 2 GB
+     host→device crawl through the ~38 MB/s tunnel — and int8-index
+     parity is computed device-vs-device against the exact f32 search.
 
 Timing uses iteration differencing with one device→host fetch per
 measurement: through this environment's TPU tunnel, ``block_until_ready``
@@ -19,14 +40,25 @@ the constant dispatch/fetch overhead cancelled is the only honest clock.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
+_SPREAD_REPS = 3
+
 
 def _timed_throughput(fn, fetch, units_per_iter: int,
-                      n_small: int = 5, n_large: int = 25) -> float:
-    """units/sec over (n_large − n_small) chained iterations (overhead-cancelled)."""
+                      n_small: int = 2, n_large: int = 8) -> float:
+    """units/sec over (n_large − n_small) chained iterations (overhead-cancelled).
+
+    A tunnel hiccup can inflate the small run past the large one, making the
+    difference nonpositive (observed: one rep returned 6e12 img/s under a
+    ``max(dt, 1e-9)`` guard).  Such samples are nonphysical: re-measure the
+    small run (keeping the min — the least-hiccup estimate of the constant
+    overhead) up to 3×, and if the difference still isn't a meaningful
+    fraction of the large run, fall back to the undifferenced rate, which
+    is conservative (dispatch/fetch overhead included)."""
 
     def run(n):
         t0 = time.perf_counter()
@@ -38,24 +70,44 @@ def _timed_throughput(fn, fetch, units_per_iter: int,
 
     t_small = run(n_small)
     t_large = run(n_large)
-    dt = max(t_large - t_small, 1e-9)
-    return (n_large - n_small) * units_per_iter / dt
+    for _ in range(3):
+        dt = t_large - t_small
+        if dt > 0.05 * t_large:
+            return (n_large - n_small) * units_per_iter / dt
+        t_small = min(t_small, run(n_small))
+    return n_large * units_per_iter / t_large
 
 
-def bench_embed(batch_size: int = 128, scan_batches: int = 8) -> dict:
-    """ViT-B/16 embed throughput via the engine's megabatch-scan path
-    (retrieval/engine.make_scan_encoder): k batches per device dispatch.
+def _timed_spread(fn, fetch, units_per_iter: int, n_small: int = 2,
+                  n_large: int = 8, reps: int = _SPREAD_REPS
+                  ) -> tuple[float, list[float]]:
+    """(median, [min, max]) over ``reps`` repeated measurements."""
+    vals = sorted(_timed_throughput(fn, fetch, units_per_iter,
+                                    n_small, n_large) for _ in range(reps))
+    return vals[len(vals) // 2], [vals[0], vals[-1]]
 
-    Measures BOTH serving precisions and their feature agreement:
-      * bf16 — the full-precision tower,
-      * int8 — the production serving config: PTQ weights + fused
-        dynamic-activation-quant Pallas kernels (ops/quant_matmul), which
-        run the matmul FLOPs at the MXU's 2× int8 rate.  Measured 5,762 vs
-        3,048 img/s (1.89×) at min feature cosine 0.9997 on v5e.
+
+def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:
+    """ViT-B/16 int8 (production serving config) embed throughput via the
+    engine's megabatch-scan path (retrieval/engine.make_scan_encoder):
+    k batches per device dispatch.
+
+    Runs FIRST and ALONE so the headline JSON lands after one tower's
+    compile instead of two — the per-process remote-compile warmup is the
+    dominant and most variable cost of the whole bench (1.5-9 min
+    observed).  Returns the int8 numbers plus the shared state
+    ``bench_embed_bf16`` needs (params, input batches, int8 features).
+
+    The throughput/fidelity inputs are patent-drawing-like line art
+    (data/synthetic.synthetic_drawing_arrays) — near-binary strokes on
+    white, the serving input distribution of retrieval.ipynb cell 2 —
+    NOT Gaussian noise, so the int8↔bf16 cosine bounds quantization error
+    on realistic activation statistics.
     """
     import jax
     import jax.numpy as jnp
 
+    from patent_tpu.data.synthetic import synthetic_drawing_arrays
     from patent_tpu.models.vit import VIT_B16, VisionTransformer
     from patent_tpu.models.vit_int8 import (Int8VisionTransformer,
                                             quantize_vit_params)
@@ -64,46 +116,74 @@ def bench_embed(batch_size: int = 128, scan_batches: int = 8) -> dict:
     model = VisionTransformer(VIT_B16, dtype=jnp.bfloat16, fused_block=True)
     params = jax.jit(model.init)(jax.random.key(0),
                                  jnp.zeros((1, 224, 224, 3)))
-    encode_many = make_scan_encoder(model.apply, params)
     model8 = Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
     params8 = {"params": quantize_vit_params(params["params"])}
     encode_many8 = make_scan_encoder(model8.apply, params8)
-    batches = jnp.asarray(
-        np.random.default_rng(0).standard_normal(
-            (scan_batches, batch_size, 224, 224, 3)).astype(np.float32))
+    # one unique drawing batch in [0, 1], tiled across scan steps (the
+    # scan-encoder normalizes on device); content doesn't affect timing
+    drawings = synthetic_drawing_arrays(batch_size, 224, seed=0)
+    batches = jnp.asarray(np.broadcast_to(
+        drawings[None], (scan_batches, *drawings.shape)).copy())
     sum_jit = jax.jit(jnp.sum)
+    f8 = np.asarray(encode_many8(batches), np.float32)    # compile + fetch
+    ips8, spread8 = _timed_spread(lambda: encode_many8(batches),
+                                  lambda out: float(sum_jit(out)),
+                                  scan_batches * batch_size)
+    return {"int8": ips8, "int8_spread": spread8,
+            "_ctx": {"model": model, "params": params, "batches": batches,
+                     "f8": f8, "sum_jit": sum_jit}}
+
+
+def bench_embed_bf16(ctx: dict) -> dict:
+    """bf16 tower throughput + int8↔bf16 feature agreement on the SAME
+    drawing batch the int8 section used (``ctx`` from bench_embed_int8)."""
+    from patent_tpu.retrieval.engine import make_scan_encoder
+
+    encode_many = make_scan_encoder(ctx["model"].apply, ctx["params"])
+    batches, sum_jit = ctx["batches"], ctx["sum_jit"]
     f16 = np.asarray(encode_many(batches), np.float32)    # compile + fetch
-    f8 = np.asarray(encode_many8(batches), np.float32)
-    a = f16.reshape(-1, f16.shape[-1])
-    b = f8.reshape(-1, f8.shape[-1])
+    a = f16[0]      # unique images live in every scan slice; one suffices
+    b = ctx["f8"][0]
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(b, axis=-1) + 1e-9)
-    ips16 = _timed_throughput(lambda: encode_many(batches),
-                              lambda out: float(sum_jit(out)),
-                              scan_batches * batch_size,
-                              n_small=2, n_large=8)
-    ips8 = _timed_throughput(lambda: encode_many8(batches),
-                             lambda out: float(sum_jit(out)),
-                             scan_batches * batch_size,
-                             n_small=2, n_large=8)
-    return {"bf16": ips16, "int8": ips8,
+    ips16, spread16 = _timed_spread(lambda: encode_many(batches),
+                                    lambda out: float(sum_jit(out)),
+                                    batches.shape[0] * batches.shape[1])
+    return {"bf16": ips16, "bf16_spread": spread16,
             "int8_cosine_min": float(cos.min())}
+
+
+def _device_gallery(n: int, dim: int, n_queries: int, seed: int = 0,
+                    poincare: bool = False):
+    """Gallery + queries generated ON DEVICE (no tunnel transfer)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        kg, kq = jax.random.split(key)
+        g = jax.random.normal(kg, (n, dim), jnp.float32)
+        q = jax.random.normal(kq, (n_queries, dim), jnp.float32)
+        if poincare:
+            g = g / jnp.linalg.norm(g, axis=-1, keepdims=True) * 0.6
+            q = q / jnp.linalg.norm(q, axis=-1, keepdims=True) * 0.6
+        return g, q
+
+    g, q = gen(jax.random.key(seed))
+    g.block_until_ready()
+    return g, q
 
 
 def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,
                n_queries: int = 256, k: int = 10,
-               similarity: str = "cosine") -> float:
+               similarity: str = "cosine") -> tuple[float, list[float]]:
     import jax
     import jax.numpy as jnp
 
     from patent_tpu.retrieval.index import topk_search
 
-    rng = np.random.default_rng(0)
-    gallery = jnp.asarray(rng.standard_normal((n_gallery, dim)), jnp.float32)
-    queries = jnp.asarray(rng.standard_normal((n_queries, dim)), jnp.float32)
-    if similarity == "poincare":
-        gallery = gallery / jnp.linalg.norm(gallery, axis=-1, keepdims=True) * 0.6
-        queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True) * 0.6
+    gallery, queries = _device_gallery(n_gallery, dim, n_queries,
+                                       poincare=(similarity == "poincare"))
     sum_jit = jax.jit(jnp.sum)
 
     def search():
@@ -112,14 +192,102 @@ def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,
         return vals
 
     float(sum_jit(search()))                          # compile + warm fetch
-    return _timed_throughput(search, lambda v: float(sum_jit(v)),
-                             n_queries, n_small=2, n_large=8)
+    return _timed_spread(search, lambda v: float(sum_jit(v)), n_queries)
+
+
+def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
+                    n_queries: int = 256, k: int = 10
+                    ) -> tuple[float, list[float], float]:
+    """Quantized-index search: int8 candidate stage (approx_max_k pool) +
+    exact re-rank.  Returns (QPS, spread, recall@10 of the full quantized
+    search vs the exact f32 device search on the same device-resident data —
+    the f32 search itself is validated against numpy brute force by
+    bench_recall_parity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.retrieval.index import (DEFAULT_RERANK_MULT,
+                                            _topk_scores_int8, topk_search)
+
+    gallery, queries = _device_gallery(n_gallery, dim, n_queries)
+
+    @jax.jit
+    def quantize(g):
+        gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+        scale = jnp.maximum(jnp.max(jnp.abs(gn), axis=-1), 1e-8) / 127.0
+        q = jnp.clip(jnp.round(gn / scale[:, None]), -127, 127).astype(jnp.int8)
+        return q, scale
+
+    i8_dev, sc_dev = quantize(gallery)
+    i8_dev.block_until_ready()
+    pool = DEFAULT_RERANK_MULT * k
+    sum_jit = jax.jit(jnp.sum)
+
+    # device-sustained candidate stage, timed like the f32 number
+    # (fetch-amortized) — the int8 MXU + approx_max_k pool pass
+    def stage():
+        return _topk_scores_int8(queries, i8_dev, sc_dev, pool, 131072)[0]
+
+    float(sum_jit(stage()))                           # compile + warm
+    qps, spread = _timed_spread(stage, lambda v: float(sum_jit(v)), n_queries)
+
+    # exactness, all on device: int8 pool → exact f32 re-rank of the pool
+    # rows → top-k; compare membership vs the exact f32 blockwise search.
+    # queries/gallery are jit ARGUMENTS — closed-over device arrays are
+    # captured as HLO constants (2 GB!) and sink the remote compile.
+    @jax.jit
+    def rerank(pidx, q, g):
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True),
+                             1e-12)
+        cand = g[pidx]                                     # [Q, pool, D]
+        cand = cand / jnp.maximum(
+            jnp.linalg.norm(cand, axis=-1, keepdims=True), 1e-12)
+        exact = jnp.einsum("qd,qpd->qp", qn, cand)
+        _v, pos = jax.lax.top_k(exact, k)
+        return jnp.take_along_axis(pidx, pos, axis=1)
+
+    _pv, pidx = _topk_scores_int8(queries, i8_dev, sc_dev, pool, 131072)
+    idx_q = np.asarray(rerank(pidx, queries, gallery))
+    _tv, idx_f32 = topk_search(queries, gallery, k=k, similarity="cosine",
+                               block_size=131072)
+    idx_f32 = np.asarray(idx_f32)
+    overlap = float(np.mean([len(set(idx_q[i]) & set(idx_f32[i])) / k
+                             for i in range(n_queries)]))
+    return qps, spread, overlap
+
+
+def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
+                        n_queries: int = 64, k: int = 10) -> float:
+    import jax.numpy as jnp
+
+    from patent_tpu.retrieval.index import topk_search
+
+    rng = np.random.default_rng(1)
+    gallery = rng.standard_normal((n_gallery, dim)).astype(np.float32)
+    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    _vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
+                             k=k, block_size=4096)
+    idx = np.asarray(idx)
+    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+    gn = gallery / np.linalg.norm(gallery, axis=-1, keepdims=True)
+    brute = np.argsort(-(qn @ gn.T), axis=1)[:, :k]
+    overlap = [len(set(idx[i]) & set(brute[i])) / k for i in range(n_queries)]
+    return float(np.mean(overlap))
 
 
 def bench_hyp_train(batch_size: int = 256, label_num: int = 16384,
-                    feature_dim: int = 512, embed_dim: int = 128) -> float:
-    """train_hyp full-step throughput (steps/sec) at reference-scale shapes
-    (LABEL_NUM ≈ 14k for the 2018 corpus, train.py:3878)."""
+                    feature_dim: int = 512, embed_dim: int = 128
+                    ) -> tuple[float, float]:
+    """train_hyp throughput at reference-scale shapes (LABEL_NUM ≈ 14k for
+    the 2018 corpus, train.py:3878).  Returns (device steps/sec, composed
+    epoch wall ÷ pure device time).
+
+    The second number measures the REAL training loop economics: one epoch
+    via the production path (host sampling with ``stack_epoch_batches`` +
+    one transfer + ONE ``make_epoch_step`` scan dispatch) against the same
+    batch count at pure device capacity.  Round 2's host-looped loop ran at
+    ~5% of device capacity through the tunnel; the epoch-scan design's
+    target is wall ≤ 3× device."""
     import jax
     import jax.numpy as jnp
 
@@ -181,89 +349,63 @@ def bench_hyp_train(batch_size: int = 256, label_num: int = 16384,
         state["p"], state["o"], loss = steps_chunk(state["p"], state["o"])
         return loss
 
-    import jax.numpy as jnp2
-
-    sum_jit = jax.jit(jnp2.sum)
-    float(sum_jit(one()))
-    return _timed_throughput(one, lambda v: float(sum_jit(v)), CHUNK,
-                             n_small=2, n_large=6)
-
-
-def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
-                    n_queries: int = 256, k: int = 10) -> tuple[float, float]:
-    """Quantized-index search: int8 candidate stage (approx_max_k pool) +
-    exact f32 host re-rank.  Returns (QPS, recall@10 vs the exact f32
-    device search on the same data)."""
-    import jax
-    import jax.numpy as jnp
-
-    from patent_tpu.retrieval.index import (quantize_gallery,
-                                            topk_search_quantized)
-
-    rng = np.random.default_rng(0)
-    gallery = rng.standard_normal((n_gallery, dim)).astype(np.float32)
-    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
-    i8, scale = quantize_gallery(gallery)
-    i8_dev, sc_dev = jnp.asarray(i8), jnp.asarray(scale)
-
-    from patent_tpu.retrieval.index import _topk_scores_int8
-
-    q_dev = jnp.asarray(queries)
     sum_jit = jax.jit(jnp.sum)
+    float(sum_jit(one()))
+    device_sps = _timed_throughput(one, lambda v: float(sum_jit(v)), CHUNK,
+                                   n_small=2, n_large=6)
 
-    # device-sustained candidate stage, timed like the f32 number
-    # (fetch-amortized) — the int8 MXU + approx_max_k pool pass
-    def stage():
-        return _topk_scores_int8(q_dev, i8_dev, sc_dev, 8 * k, 131072)[0]
+    # composed epoch wall via the production path: host sampling
+    # (stack_epoch_batches over a reference-scale supervision table) + one
+    # transfer + ONE epoch-scan dispatch (make_epoch_step)
+    from patent_tpu.train.train_hyp import (PackedSupervision,
+                                            make_epoch_step,
+                                            stack_epoch_batches)
 
-    float(sum_jit(stage()))                           # compile + warm
-    qps = _timed_throughput(stage, lambda v: float(sum_jit(v)),
-                            n_queries, n_small=2, n_large=8)
+    packed = PackedSupervision.__new__(PackedSupervision)
+    n_fig = 24_000                      # ≈ 0.8 × 27k reference train split
+    packed.usable = np.arange(n_fig, dtype=np.int64)
+    packed.pos_patent = rng.integers(0, label_num, n_fig).astype(np.int32)
+    packed.neg_patents = rng.integers(0, label_num,
+                                      (n_fig, 5)).astype(np.int32)
+    packed.neg_patent_len = np.full(n_fig, 5, np.int32)
+    packed.pos_figs = rng.integers(0, n_figures, (n_fig, 3)).astype(np.int32)
+    packed.pos_fig_len = np.full(n_fig, 3, np.int32)
+    packed.neg_figs = rng.integers(0, n_figures, (n_fig, 3)).astype(np.int32)
+    packed.neg_fig_len = np.full(n_fig, 3, np.int32)
+    packed.fig_to_slot = {}
 
-    # exactness: full quantized search (stage + f32 host re-rank) vs a
-    # host-side brute force on a query subsample (a second full device
-    # search would double the bench's heavy compiles for no extra signal)
-    _v, idx = topk_search_quantized(queries, i8_dev, sc_dev, gallery,
-                                    k=k, block_size=131072)
-    sub = min(64, n_queries)
-    qn = queries[:sub] / np.linalg.norm(queries[:sub], axis=-1,
-                                        keepdims=True)
-    gn = gallery / np.linalg.norm(gallery, axis=-1, keepdims=True)
-    brute = np.argsort(-(qn @ gn.T), axis=1)[:, :k]
-    overlap = float(np.mean([len(set(idx[i]) & set(brute[i])) / k
-                             for i in range(sub)]))
-    return qps, overlap
+    train_epoch, _ = make_epoch_step(model, optimizer, cfg)
+    host_rng = np.random.default_rng(1)
+    slots = np.arange(n_fig)
+    state2 = {"p": params, "o": opt_state}
 
+    def one_epoch():
+        arrays = stack_epoch_batches(packed, slots, batch_size, 1, host_rng)
+        dev = tuple(jnp.asarray(a) for a in arrays)
+        state2["p"], state2["o"], metrics = train_epoch(
+            state2["p"], state2["o"], dev, key, x_figures, implication,
+            exclusion)
+        return metrics["total_loss"]
 
-def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
-                        n_queries: int = 64, k: int = 10) -> float:
-    import jax.numpy as jnp
-
-    from patent_tpu.retrieval.index import topk_search
-
-    rng = np.random.default_rng(1)
-    gallery = rng.standard_normal((n_gallery, dim)).astype(np.float32)
-    queries = rng.standard_normal((n_queries, dim)).astype(np.float32)
-    _vals, idx = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
-                             k=k, block_size=4096)
-    idx = np.asarray(idx)
-    qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
-    gn = gallery / np.linalg.norm(gallery, axis=-1, keepdims=True)
-    brute = np.argsort(-(qn @ gn.T), axis=1)[:, :k]
-    overlap = [len(set(idx[i]) & set(brute[i])) / k for i in range(n_queries)]
-    return float(np.mean(overlap))
+    nb = -(-n_fig // batch_size)
+    float(sum_jit(one_epoch()))                       # compile + warm
+    epoch_wall = _timed_throughput(one_epoch, lambda v: float(sum_jit(v)),
+                                   1, n_small=1, n_large=4)
+    epoch_wall = 1.0 / epoch_wall                     # sec per epoch
+    wall_vs_device = epoch_wall / (nb / device_sps)
+    return device_sps, wall_vs_device
 
 
-def _device_responsive(timeout_s: float = 240.0, retries: int = 2,
-                       retry_wait_s: float = 300.0) -> bool:
+def _device_responsive(timeout_s: float = 90.0, retries: int = 1,
+                       retry_wait_s: float = 15.0) -> bool:
     """Probe the device with a tiny op under a watchdog: the tunneled TPU
     lease can wedge after abrupt client kills, and a hung probe must not
     hang the whole bench run.
 
     The probe runs in a SUBPROCESS (an in-process daemon thread stuck in a
-    device RPC makes interpreter teardown call std::terminate) and, on
-    failure, waits out the lease timeout and retries — a transient wedge
-    right before the driver's bench run must not record a 0.0 round."""
+    device RPC makes interpreter teardown call std::terminate).  Budget is
+    hard-capped at one 90 s probe + one 90 s retry (≤3 min) so a wedged
+    lease costs the run at most 3 minutes before the fallback JSON."""
     import subprocess
     import sys
 
@@ -273,7 +415,7 @@ def _device_responsive(timeout_s: float = 240.0, retries: int = 2,
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
-                               timeout=timeout_s)
+                               timeout=timeout_s - (retry_wait_s * attempt))
             if r.returncode == 0 and "ok" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:
@@ -287,46 +429,131 @@ def main() -> None:
     from patent_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    if not _device_responsive():
-        print(json.dumps({
-            "metric": "vit_b16_embed_throughput", "value": 0.0,
-            "unit": "images/sec/chip", "vs_baseline": 0.0,
-            "extras": {"error": "device unresponsive (TPU lease wedged); "
-                                "retry after lease timeout"}}))
-        return
-
-    embed = bench_embed()
-    # hyp-train before the 1M-gallery benches: the big gallery allocations
-    # fragment HBM/host memory and depress the small-step timing
-    hyp_sps = bench_hyp_train()
-    topk_qps = bench_topk(similarity="cosine")
-    int8_qps, int8_parity = bench_topk_int8()
-    poincare_qps = bench_topk(n_gallery=200_000, similarity="poincare")
-    parity = bench_recall_parity()
+    t_start = time.monotonic()
+    # measured full-run cost: ~540 s (≈320 s embed incl. the one-time
+    # per-process compile warmup + seconds per later section + ~80 s
+    # hyp-train) — 600 s fits everything with margin while staying inside
+    # the driver's budget; sections skip gracefully if a wedge eats time
+    deadline = t_start + float(os.environ.get("PATENT_BENCH_DEADLINE_S",
+                                              "600"))
 
     target = 10_000.0  # BASELINE.json: ≥10k images/sec/chip
-    # headline = the production serving config (int8 PTQ fused kernels);
-    # bf16 tower + int8↔bf16 feature fidelity are reported alongside
     result = {
         "metric": "vit_b16_embed_throughput",
-        "value": round(embed["int8"], 1),
+        "value": 0.0,
         "unit": "images/sec/chip",
-        "vs_baseline": round(embed["int8"] / target, 4),
-        "extras": {
-            "embed_bf16_ips": round(embed["bf16"], 1),
-            "int8_embed_throughput": round(embed["int8"], 1),
-            "int8_vs_bf16_speedup": round(embed["int8"] / embed["bf16"], 3),
-            "int8_feature_cosine_min": round(embed["int8_cosine_min"], 5),
-            "topk_qps_1M_cosine": round(topk_qps, 1),
-            "topk_qps_1M_cosine_int8": round(int8_qps, 1),
-            "recall10_int8_vs_f32": int8_parity,
-            "topk_qps_200k_poincare": round(poincare_qps, 1),
-            "recall10_parity_vs_bruteforce": parity,
-            "hyp_train_steps_per_sec_b256_16k_labels": round(hyp_sps, 2),
-        },
+        "vs_baseline": 0.0,
+        # the headline serves the int8 PTQ tower (production config);
+        # bf16 numbers live in extras under explicit keys so the precision
+        # change is visible to anything parsing only metric/value
+        "precision": "int8",
+        "extras": {"status": "started", "skipped": []},
     }
-    print(json.dumps(result))
+
+    def emit():
+        result["extras"]["elapsed_s"] = round(time.monotonic() - t_start, 1)
+        print(json.dumps(result), flush=True)
+
+    if not _device_responsive():
+        result["extras"] = {"error": "device unresponsive (TPU lease "
+                                     "wedged); retry after lease timeout"}
+        emit()
+        return
+
+    # insurance line: if a later section hangs past the driver's kill, the
+    # last complete line still parses (value 0.0 + status shows how far)
+    emit()
+
+    sections_run: list[str] = []
+
+    def section(name: str, est_cost_s: float, fn) -> bool:
+        """Run a section if it fits the remaining budget; False if skipped."""
+        if time.monotonic() + est_cost_s > deadline:
+            result["extras"]["skipped"].append(name)
+            return False
+        t0 = time.monotonic()
+        try:
+            fn()
+            sections_run.append(f"{name}:{time.monotonic() - t0:.0f}s")
+            return True
+        except Exception as e:  # record, keep the line parseable
+            result["extras"][f"{name}_error"] = f"{type(e).__name__}: {e}"
+            return False
+
+    embed_ctx: dict = {}
+
+    def run_embed_int8():
+        embed = bench_embed_int8()
+        embed_ctx.update(embed.pop("_ctx"))
+        result["value"] = round(embed["int8"], 1)
+        result["vs_baseline"] = round(embed["int8"] / target, 4)
+        result["extras"].update({
+            "status": "headline done",
+            "int8_embed_throughput": round(embed["int8"], 1),
+            "int8_embed_spread": [round(v, 1) for v in embed["int8_spread"]],
+        })
+
+    def run_embed_bf16():
+        embed = bench_embed_bf16(embed_ctx)
+        result["extras"].update({
+            "embed_bf16_ips": round(embed["bf16"], 1),
+            "embed_bf16_spread": [round(v, 1) for v in embed["bf16_spread"]],
+            "int8_vs_bf16_speedup": round(result["value"] / embed["bf16"], 3),
+            "int8_feature_cosine_min_drawings":
+                round(embed["int8_cosine_min"], 5),
+        })
+
+    def run_parity():
+        result["extras"]["recall10_parity_vs_bruteforce"] = \
+            bench_recall_parity()
+
+    def run_topk():
+        qps, spread = bench_topk(similarity="cosine")
+        result["extras"]["topk_qps_1M_cosine"] = round(qps, 1)
+        result["extras"]["topk_qps_1M_cosine_spread"] = \
+            [round(v, 1) for v in spread]
+
+    def run_topk_int8():
+        qps, spread, parity = bench_topk_int8()
+        result["extras"]["topk_qps_1M_cosine_int8"] = round(qps, 1)
+        result["extras"]["topk_qps_1M_cosine_int8_spread"] = \
+            [round(v, 1) for v in spread]
+        result["extras"]["recall10_int8_vs_f32"] = parity
+
+    def run_poincare():
+        qps, spread = bench_topk(n_gallery=200_000, similarity="poincare")
+        result["extras"]["topk_qps_200k_poincare"] = round(qps, 1)
+        result["extras"]["topk_qps_200k_poincare_spread"] = \
+            [round(v, 1) for v in spread]
+
+    def run_hyp():
+        sps, wall_ratio = bench_hyp_train()
+        result["extras"]["hyp_train_steps_per_sec_b256_16k_labels"] = \
+            round(sps, 2)
+        result["extras"]["hyp_train_epoch_wall_vs_device"] = \
+            round(wall_ratio, 2)
+
+    # priority order: headline first, then cheapest-per-signal; estimated
+    # warm-cache costs (measured on the attached v5e) gate each section.
+    # emit after EVERY section (success, error, or skip) so the last
+    # complete line always reflects how far the run got.
+    section("embed_int8", est_cost_s=200, fn=run_embed_int8)
+    emit()                      # ← the HEADLINE lands here (one tower only)
+    section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
+    emit()
+    section("recall_parity", est_cost_s=30, fn=run_parity)
+    emit()
+    section("topk_1M", est_cost_s=75, fn=run_topk)
+    emit()
+    section("topk_1M_int8", est_cost_s=90, fn=run_topk_int8)
+    emit()
+    section("poincare_200k", est_cost_s=45, fn=run_poincare)
+    emit()
+    section("hyp_train", est_cost_s=90, fn=run_hyp)
+
+    result["extras"]["status"] = "complete"
+    result["extras"]["section_times"] = sections_run
+    emit()
 
 
 if __name__ == "__main__":

@@ -107,7 +107,10 @@ def _one_pass_softmax_pv(q, k, v_ext, dp: int):
       the exact masked denominator together; the final divide is over
       [S, head_dim+1] — S× cheaper than any [S, S] pass.  Junk pad-key
       scores (q·k_pad) are bounded by the clamp and nulled by the zero
-      V rows/valid column.
+      V rows/valid column.  Keep the CONCAT form: a separate
+      ``den = p @ m`` dot measured slower in BOTH fused contexts
+      (bf16 block 123.0 → 124.7, int8 whole layer 166.3 → 178.5 μs/img;
+      same-process interleaved ×3, tools/ab_attn_form.py).
 
     p is rounded to v's dtype for the MXU dot; numerator and denominator
     round identically, so softmax weights keep the same ~3 decimal digits

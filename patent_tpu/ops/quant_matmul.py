@@ -303,6 +303,12 @@ def _attn_sublayer_f32(x, lns, lnb, wqkv_ref, sqkv, bqkv, wout_ref, sout,
       valid-key column is appended to V, so ``o_ext = p @ [V·m | m]``
       yields the masked numerator and exact masked denominator in one dot
       ([S, head_dim+1] divide afterwards, S× cheaper than a [S, S] pass).
+      Keep the CONCAT form: splitting into ``o = p @ (V·m)`` + a separate
+      ``den = p @ m`` dot wins in an isolated attention-sublayer stack
+      (74.1 → 66.2 μs/img) but LOSES inside this whole-layer kernel
+      (166.3 → 178.5 μs/img, same-process interleaved ×3 A/B,
+      tools/ab_attn_form.py) — the tiny N=1 dot starves Mosaic's
+      scheduler where the MLP matmuls compete for the MXU.
 
     The remaining VPU work per head is just exp2(min(s, 80)) + the bf16
     cast, which Mosaic fuses into one pass.  The bf16 rounding of p affects

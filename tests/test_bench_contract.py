@@ -18,22 +18,55 @@ def load_bench():
 
 
 def test_bench_json_schema(monkeypatch, capsys):
-    """main() prints exactly one JSON line with metric/value/unit/vs_baseline."""
+    """main() emits progressively richer complete JSON lines (the driver
+    takes the LAST); every line must parse and carry the required keys."""
     bench = load_bench()
     monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
-    monkeypatch.setattr(bench, "bench_embed", lambda *a, **k: {
-        "bf16": 3000.0, "int8": 3000.0, "int8_cosine_min": 0.9997})
-    monkeypatch.setattr(bench, "bench_topk", lambda *a, **k: 8000.0)
-    monkeypatch.setattr(bench, "bench_topk_int8", lambda *a, **k: (40000.0, 1.0))
+    monkeypatch.setattr(bench, "bench_embed_int8", lambda *a, **k: {
+        "int8": 3000.0, "int8_spread": [2990.0, 3010.0], "_ctx": {}})
+    monkeypatch.setattr(bench, "bench_embed_bf16", lambda *a, **k: {
+        "bf16": 3000.0, "bf16_spread": [2990.0, 3010.0],
+        "int8_cosine_min": 0.9997})
+    monkeypatch.setattr(bench, "bench_topk",
+                        lambda *a, **k: (8000.0, [7900.0, 8100.0]))
+    monkeypatch.setattr(bench, "bench_topk_int8",
+                        lambda *a, **k: (40000.0, [39000.0, 41000.0], 1.0))
     monkeypatch.setattr(bench, "bench_recall_parity", lambda *a, **k: 1.0)
-    monkeypatch.setattr(bench, "bench_hyp_train", lambda *a, **k: 450.0)
+    monkeypatch.setattr(bench, "bench_hyp_train",
+                        lambda *a, **k: (450.0, 1.5))
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()
-    assert len(out) == 1, f"bench must print exactly ONE line, got {len(out)}"
-    payload = json.loads(out[0])
-    assert set(payload) >= {"metric", "value", "unit", "vs_baseline"}
+    assert len(out) >= 2, "expect headline + progressive updates"
+    for line in out:
+        json.loads(line)           # every line is a complete JSON record
+    payload = json.loads(out[-1])
+    assert set(payload) >= {"metric", "value", "unit", "vs_baseline",
+                            "precision"}
     assert payload["unit"] == "images/sec/chip"
     assert payload["vs_baseline"] == pytest.approx(0.3)
+    assert payload["extras"]["status"] == "complete"
+    ex = payload["extras"]
+    assert ex["recall10_parity_vs_bruteforce"] == 1.0
+    assert ex["int8_embed_spread"] == [2990.0, 3010.0]
+    assert ex["hyp_train_epoch_wall_vs_device"] == 1.5
+    assert ex["skipped"] == []
+
+
+def test_bench_deadline_skips_sections(monkeypatch, capsys):
+    """With an exhausted deadline, later sections are skipped and RECORDED
+    as skipped — the headline line still lands."""
+    bench = load_bench()
+    monkeypatch.setenv("PATENT_BENCH_DEADLINE_S", "0")
+    monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
+    called = []
+    monkeypatch.setattr(bench, "bench_embed_int8",
+                        lambda *a, **k: called.append("embed"))
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert called == [], "no section should run past the deadline"
+    assert "embed_int8" in payload["extras"]["skipped"]
+    assert "hyp_train" in payload["extras"]["skipped"]
 
 
 def test_bench_unresponsive_device_path(monkeypatch, capsys):
@@ -64,3 +97,38 @@ def test_timed_throughput_differencing():
                                    n_small=2, n_large=10)
     # ~1000 units/sec modulo sleep jitter
     assert 300 < rate < 3000
+
+
+def test_timed_throughput_hiccup_never_nonphysical():
+    """A tunnel hiccup that inflates the SMALL run past the large one must
+    not produce an absurd rate (observed: 6e12 under a max(dt, 1e-9) guard).
+    The sampler re-measures the small run and, failing that, falls back to
+    the conservative undifferenced rate."""
+    bench = load_bench()
+
+    # small run hiccups EVERY time: fall back to n_large/t_large
+    times = iter([0.0, 5.0,        # t_small = 5 (hiccup)
+                  5.0, 6.0,        # t_large = 1
+                  6.0, 11.0,       # retry small: 5 again
+                  11.0, 16.0,      # retry small: 5
+                  16.0, 21.0])     # retry small: 5 → fall back
+    orig = bench.time.perf_counter
+    bench.time.perf_counter = lambda: next(times)
+    try:
+        rate = bench._timed_throughput(lambda: None, lambda o: o,
+                                       units_per_iter=1, n_small=2, n_large=8)
+    finally:
+        bench.time.perf_counter = orig
+    assert rate == pytest.approx(8 / 1.0)    # undifferenced fallback
+
+    # one transient hiccup: the retried small run recovers the difference
+    times = iter([0.0, 5.0,        # t_small = 5 (hiccup)
+                  5.0, 9.0,        # t_large = 4
+                  9.0, 10.0])      # retry small: 1 → dt = 3
+    bench.time.perf_counter = lambda: next(times)
+    try:
+        rate = bench._timed_throughput(lambda: None, lambda o: o,
+                                       units_per_iter=1, n_small=2, n_large=8)
+    finally:
+        bench.time.perf_counter = orig
+    assert rate == pytest.approx(6 / 3.0)

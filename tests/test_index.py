@@ -130,6 +130,33 @@ def test_poincare_topk(data):
     np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(5))
 
 
+def test_poincare_topk_matches_f64_brute_force():
+    """The MXU surrogate score (monotone transform of the distance,
+    index._scores_block) must reproduce the exact acosh-distance ordering,
+    and the returned values must be the TRUE −distances of the winners."""
+    rng = np.random.default_rng(7)
+    c = 2.0
+    g = rng.standard_normal((500, 32))
+    g = g / np.linalg.norm(g, axis=-1, keepdims=True) \
+        * rng.uniform(0.05, 0.65, (500, 1))
+    q = rng.standard_normal((9, 32))
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True) \
+        * rng.uniform(0.05, 0.65, (9, 1))
+    vals, idx = topk_search(jnp.asarray(q, jnp.float32),
+                            jnp.asarray(g, jnp.float32), k=7,
+                            similarity="poincare", block_size=128, c=c)
+    # f64 oracle: d = (1/√c)·arcosh(1 + 2c|u−v|²/((1−c|u|²)(1−c|v|²)))
+    diff = q[:, None, :] - g[None, :, :]
+    num = 2 * c * np.sum(diff**2, -1)
+    den = (1 - c * np.sum(q**2, -1))[:, None] * (1 - c * np.sum(g**2, -1))
+    d = np.arccosh(1 + num / den) / np.sqrt(c)
+    brute_idx = np.argsort(d, axis=1)[:, :7]
+    np.testing.assert_array_equal(np.asarray(idx), brute_idx)
+    np.testing.assert_allclose(
+        np.asarray(vals), -np.take_along_axis(d, brute_idx, axis=1),
+        rtol=2e-4, atol=2e-4)
+
+
 def test_sharded_matches_single_device(data, eight_devices):
     queries, gallery = data
     mesh = Mesh(np.array(eight_devices), ("data",))

@@ -164,7 +164,12 @@ def test_attention_saturation_probe(rng):
 
     b, s, h, hd = 2, 13, 2, 16
     d = h * hd
-    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    # tie the q and k projections so a large-activation input saturates with
+    # a guaranteed-POSITIVE max score (s = |q|²·scale) regardless of the
+    # session rng state
+    wq = rng.standard_normal((d, d)) * 0.1
+    wqkv = jnp.asarray(np.concatenate(
+        [wq, wq, rng.standard_normal((d, d)) * 0.1], axis=1), jnp.float32)
     bqkv = jnp.zeros((3 * d,), jnp.float32)
     healthy = jnp.asarray(rng.standard_normal((b, s, d)) * 0.5, jnp.float32)
     sat = jnp.full((b, s, d), 40.0, jnp.float32)

@@ -323,6 +323,62 @@ def test_distance_analysis_artifacts(prepared, tmp_path):
     _json.dumps(stripped)  # JSON-serializable
 
 
+def test_epoch_scan_matches_per_step_path(prepared):
+    """One epoch via make_epoch_step (lax.scan, ONE dispatch) must produce
+    the same params and metrics as stepping make_train_step over the same
+    stacked batches with the same per-step keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.data.prep import figure_pair_maps
+    from patent_tpu.models.hyperbolic import HyperbolicEmbeddingModel
+    from patent_tpu.train.optim import manifold_mask, riemannian_adam
+    from patent_tpu.train.train_hyp import (PackedSupervision,
+                                            make_epoch_step, make_train_step,
+                                            stack_epoch_batches)
+
+    _, _, _, td = prepared
+    cfg = HypTrainConfig(embed_dim=8, hidden_dims=(16,), batch_size=16,
+                         num_neg_samples=2, use_dropout=True)
+    model = HyperbolicEmbeddingModel(
+        feature_dim=td.x_figures.shape[1], embed_dim=8,
+        label_num=td.num_labels, hidden_dims=(16,), c=cfg.curvature)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, td.x_figures.shape[1])))["params"]
+    opt = riemannian_adam(cfg.learning_rate, c=cfg.curvature,
+                          mask=manifold_mask(params))
+    opt_state = opt.init(params)
+    packed = PackedSupervision(td, figure_pair_maps(td))
+    arrays = stack_epoch_batches(packed, np.arange(len(packed.usable)),
+                                 cfg.batch_size, cfg.num_neg_samples,
+                                 np.random.default_rng(3))
+    x_fig = jnp.asarray(td.x_figures)
+    imp = jnp.asarray(td.implication)
+    exc = jnp.asarray(td.exclusion if td.exclusion.size
+                      else np.zeros((0, 2), np.int32))
+    key = jax.random.key(7)
+
+    step, _ = make_train_step(model, opt, cfg)
+    p_ref, o_ref = params, opt_state
+    tot = 0.0
+    nb = arrays[0].shape[0]
+    assert nb >= 2
+    for i in range(nb):
+        batch_i = tuple(jnp.asarray(a[i]) for a in arrays)
+        p_ref, o_ref, m = step(p_ref, o_ref, batch_i,
+                               jax.random.fold_in(key, i), x_fig, imp, exc)
+        tot += float(m["total_loss"])
+
+    train_epoch, _ = make_epoch_step(model, opt, cfg)
+    p_scan, _o, msum = train_epoch(params, opt_state,
+                                   tuple(jnp.asarray(a) for a in arrays),
+                                   key, x_fig, imp, exc)
+    assert float(msum["total_loss"]) == pytest.approx(tot, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_packed_batcher_matches_legacy_semantics(prepared):
     """The vectorized batcher draws from exactly the same supervision sets
     as the legacy dict-walking generator."""
