@@ -12,10 +12,12 @@ MXU executes int8 at twice the bf16 rate — with
 
 At the plain-XLA level the int8 MXU win is unreachable (dynamic-quant and
 dequant passes round-trip activations through HBM and measure no faster
-than bf16); the Pallas fusion is what delivers it — measured **5,762 vs
-3,048 img/s (1.89×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
-cosine 0.9997 vs the bf16 tower (softmax-pass elimination in
-``quant_matmul._attn_sublayer_f32`` accounts for the step past 5.1k).  Patch
+than bf16); the Pallas fusion is what delivers it — measured **6,125 vs
+~3,000 img/s (2.0×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
+cosine 0.9998 vs the bf16 tower on drawing-like inputs (softmax-pass
+elimination in ``quant_matmul._attn_sublayer_f32`` accounts for the step
+past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — for the
+step past 5.6k).  Patch
 embedding, layernorms, softmax, and the final projection stay in bf16/f32:
 they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;

@@ -95,8 +95,10 @@ def test_timed_throughput_differencing():
 
     rate = bench._timed_throughput(fn, lambda o: o, units_per_iter=1,
                                    n_small=2, n_large=10)
-    # ~1000 units/sec modulo sleep jitter
-    assert 300 < rate < 3000
+    # ~1000 units/sec nominal; a loaded machine stretches sleep(1ms) several
+    # fold, so only pin the order of magnitude (overhead cancellation is the
+    # contract under test, not absolute timing)
+    assert 100 < rate < 3000
 
 
 def test_timed_throughput_hiccup_never_nonphysical():

@@ -36,17 +36,42 @@ def _mk_weights(rng, k, n, wscale=0.05):
 def test_quant_dense_kernel_matches_fallback(rng):
     x = jnp.asarray(rng.standard_normal((100, 128)), jnp.float32)
     wq, s, b = _mk_weights(rng, 128, 256)
-    got = qm.quant_dense(x, wq, s, b, m_tile=64, force=True)
+    # fast=False pins kernel structure == fallback bit-for-bit (same
+    # quantization decisions); the approx-reciprocal production path is
+    # bounded separately in test_quant_dense_fast_path_within_quant_noise.
+    got = qm.quant_dense(x, wq, s, b, m_tile=64, force=True, fast=False)
     want = qm.quant_dense(x, wq, s, b)          # fallback (off-TPU, no force)
     # M=100 is not a multiple of m_tile=64 → exercises the pad+slice path
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
 
 
+def test_quant_dense_fast_path_within_quant_noise(rng):
+    """The fast kernel path (approx VPU reciprocal in the dynamic-quant
+    chain) may flip borderline int8 roundings by ±1 LSB vs the exact
+    oracle; the output difference must stay below one activation-LSB
+    propagated through the matmul."""
+    x = jnp.asarray(rng.standard_normal((100, 128)), jnp.float32)
+    wq, s, b = _mk_weights(rng, 128, 256)
+    got = np.asarray(qm.quant_dense(x, wq, s, b, act="quick_gelu",
+                                    m_tile=64, force=True, fast=True))
+    want = np.asarray(qm.quant_dense(x, wq, s, b, act="quick_gelu"))
+    # 1 LSB on one int8 input element contributes ≤ row_scale·|w_col| each;
+    # empirically the max output deviation is ~2 LSB-equivalents.  Bound by
+    # the per-row LSB times a small constant.
+    lsb = np.max(np.abs(np.asarray(x)), axis=1, keepdims=True) / 127.0
+    bound = 4.0 * lsb * np.max(np.abs(np.asarray(s))) * 127.0 + 1e-3
+    assert np.all(np.abs(got - want) <= bound)
+    # and the results stay overwhelmingly identical in aggregate
+    denom = np.maximum(np.max(np.abs(want)), 1e-6)
+    assert np.max(np.abs(got - want)) / denom < 5e-2
+
+
 def test_quant_dense_gelu_and_dtype(rng):
     x = jnp.asarray(rng.standard_normal((64, 128)), jnp.bfloat16)
     wq, s, b = _mk_weights(rng, 128, 128)
-    got = qm.quant_dense(x, wq, s, b, act="quick_gelu", m_tile=64, force=True)
+    got = qm.quant_dense(x, wq, s, b, act="quick_gelu", m_tile=64, force=True,
+                         fast=False)
     want = qm.quant_dense(x, wq, s, b, act="quick_gelu")
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
@@ -69,10 +94,16 @@ def test_quant_mlp_kernel_matches_fallback(rng):
     x = jnp.asarray(rng.standard_normal((80, 128)), jnp.float32)
     w1, s1, b1 = _mk_weights(rng, 128, 256)
     w2, s2, b2 = _mk_weights(rng, 256, 128)
-    got = qm.quant_mlp(x, w1, s1, b1, w2, s2, b2, m_tile=64, force=True)
+    got = qm.quant_mlp(x, w1, s1, b1, w2, s2, b2, m_tile=64, force=True,
+                       fast=False)
     want = qm.quant_mlp(x, w1, s1, b1, w2, s2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+    # production fast path: within the int8 noise band of the exact oracle
+    fastv = np.asarray(qm.quant_mlp(x, w1, s1, b1, w2, s2, b2, m_tile=64,
+                                    force=True, fast=True))
+    denom = np.maximum(np.max(np.abs(np.asarray(want))), 1e-6)
+    assert np.max(np.abs(fastv - np.asarray(want))) / denom < 5e-2
 
 
 def _attn_inputs(rng, b=2, s=50, d=128, scale=0.3):
@@ -142,7 +173,12 @@ def test_quant_mlp_block_kernel_matches_fallback(rng):
     w1, s1, b1 = _mk_weights(rng, d, 256)
     w2, s2, b2 = _mk_weights(rng, 256, d)
     got = qm.quant_mlp_block(x, lns, lnb, w1, s1, b1, w2, s2, b2,
-                             m_tile=64, force=True)
+                             m_tile=64, force=True, fast=False)
     want = qm.quant_mlp_block(x, lns, lnb, w1, s1, b1, w2, s2, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-4, rtol=1e-4)
+    fastv = np.asarray(qm.quant_mlp_block(x, lns, lnb, w1, s1, b1, w2, s2,
+                                          b2, m_tile=64, force=True,
+                                          fast=True))
+    denom = np.maximum(np.max(np.abs(np.asarray(want))), 1e-6)
+    assert np.max(np.abs(fastv - np.asarray(want))) / denom < 5e-2
