@@ -168,6 +168,12 @@ class VisionTransformer(nn.Module):
         """pixel_values: [B, H, W, 3] (NHWC, normalized) → [B, projection_dim]."""
         cfg = self.config
         x = pixel_values.astype(self.dtype)
+        # keep the strided conv: a hand-rolled lane-friendly im2col
+        # (merge W×C, 14 column-block slices, stack) measures 4.2 vs 15.3
+        # μs/img ISOLATED, but inside the full tower jit XLA's conv
+        # lowering is already optimal — same-process A/B: conv 6,291 vs
+        # patchify 6,238 img/s (int8 tower, v5e) — so the rewrite only
+        # adds code
         x = nn.Conv(cfg.hidden_dim, (cfg.patch_size, cfg.patch_size),
                     strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
                     dtype=self.dtype, name="patch_embed")(x)
