@@ -539,9 +539,12 @@ def main() -> None:
     # complete line always reflects how far the run got.
     section("embed_int8", est_cost_s=200, fn=run_embed_int8)
     emit()                      # ← the HEADLINE lands here (one tower only)
-    section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
-    emit()
+    # recall parity is the cheapest done-criterion extra — land it before
+    # the expensive sections so a contended embed run (observed 462 s vs
+    # ~320 s clean) can't push it past the deadline
     section("recall_parity", est_cost_s=30, fn=run_parity)
+    emit()
+    section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
     emit()
     section("topk_1M", est_cost_s=75, fn=run_topk)
     emit()

@@ -22,14 +22,44 @@ from ..metrics import RetrievalMetrics, evaluate_rankings
 from .index import EmbeddingIndex, Similarity
 
 
-def make_device_normalizing_encoder(apply_fn, params):
+def _fold_params_for_u8(params):
+    """Fold input normalization into the tower weights (models.vit.
+    fold_u8_normalize_params) — handles the {"params": tree} wrapper."""
+    from ..models.vit import fold_u8_normalize_params
+
+    if "params" in params and "patch_embed" in params["params"]:
+        return {**params, "params": fold_u8_normalize_params(params["params"])}
+    return fold_u8_normalize_params(params)
+
+
+def make_device_normalizing_encoder(apply_fn, params, fold_u8: bool = False):
     """Encoder accepting uint8 RGB batches: (x/255 − mean)/std happens ON
     DEVICE inside the jit — pairs with ``ImageBatcher(out_dtype="u8")`` /
     input.native.decode_batch_native_u8 for 4× less host→device transfer
     (params are jit ARGUMENTS).  float32 batches pass through unnormalized
     (assumed pre-normalized), so the same encoder serves both input modes —
-    the jit specializes per dtype."""
+    the jit specializes per dtype.
+
+    ``fold_u8=True`` folds the normalization into the patch-embed weights
+    instead (fold_u8_normalize_params): uint8 batches then feed the tower
+    raw, skipping the normalize pass over the C=3-minor-layout pixel stream
+    (the slow layout on TPU).  The folded encoder accepts ONLY uint8."""
     from ..input.pipeline import device_normalize
+
+    if fold_u8:
+        params = _fold_params_for_u8(params)
+
+        @jax.jit
+        def encode_raw(params, batch):
+            return apply_fn(params, batch)
+
+        def run(batch):
+            if batch.dtype != jnp.uint8:
+                raise ValueError("fold_u8 encoder accepts uint8 batches only "
+                                 "(weights are normalization-folded)")
+            return encode_raw(params, batch)
+
+        return run
 
     @jax.jit
     def encode(params, batch):
@@ -38,7 +68,7 @@ def make_device_normalizing_encoder(apply_fn, params):
     return lambda batch: encode(params, batch)
 
 
-def make_scan_encoder(apply_fn, params):
+def make_scan_encoder(apply_fn, params, fold_u8: bool = False):
     """Build a [k, B, ...] → [k, B, D] megabatch encoder: jitted lax.scan
     over ``apply_fn`` with params passed as a jit ARGUMENT (never a closure
     constant — closed-over weights bloat the HLO past remote-compile limits).
@@ -46,19 +76,31 @@ def make_scan_encoder(apply_fn, params):
     Accepts float32 (pre-normalized) OR uint8 batches: uint8 input is
     CLIP-normalized on device inside the jit (the jit specializes on input
     dtype), pairing with ``ImageBatcher(out_dtype="u8")`` for 4× less
-    host→device transfer.
+    host→device transfer.  ``fold_u8=True``: as in
+    ``make_device_normalizing_encoder`` — normalization folded into the
+    weights, uint8-only, no per-pixel normalize pass.
     """
     from ..input.pipeline import device_normalize
+
+    if fold_u8:
+        params = _fold_params_for_u8(params)
 
     @jax.jit
     def scan_encode(params, batches):
         def body(_, b):
             # normalize per scan step (fuses into the patch conv)
-            return None, apply_fn(params, device_normalize(b))
+            return None, apply_fn(params, b if fold_u8
+                                  else device_normalize(b))
         _, outs = jax.lax.scan(body, None, batches)
         return outs
 
-    return lambda batches: scan_encode(params, batches)
+    def run(batches):
+        if fold_u8 and batches.dtype != jnp.uint8:
+            raise ValueError("fold_u8 encoder accepts uint8 batches only "
+                             "(weights are normalization-folded)")
+        return scan_encode(params, batches)
+
+    return run
 
 
 class RetrievalEngine:

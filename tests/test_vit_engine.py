@@ -354,3 +354,42 @@ def test_pair_batcher_matches_serial(image_dir, tmp_path):
                      image_size=32, num_workers=2) as batcher:
         short = list(batcher.epoch([0, 1, 2]))
     assert len(short) == 1 and short[0][1].shape[0] == 3
+
+
+def test_fold_u8_normalize_matches_device_normalize():
+    """A normalization-folded tower on raw uint8 must match the standard
+    normalize→encode path (fold is an exact linear identity; f32 rounding
+    only)."""
+    from patent_tpu.models.vit import fold_u8_normalize_params
+    from patent_tpu.retrieval.engine import (
+        make_device_normalizing_encoder, make_scan_encoder)
+
+    rng = np.random.default_rng(0)
+    model = VisionTransformer(VIT_TINY)          # f32 tower: tight compare
+    params = jax.jit(model.init)(jax.random.key(0),
+                                 jnp.zeros((1, 32, 32, 3)))
+    u8 = jnp.asarray(rng.integers(0, 256, (4, 32, 32, 3)), jnp.uint8)
+
+    base = make_device_normalizing_encoder(model.apply, params)
+    folded = make_device_normalizing_encoder(model.apply, params,
+                                             fold_u8=True)
+    want = np.asarray(base(u8))
+    got = np.asarray(folded(u8))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=2e-4 * scale, rtol=1e-3)
+
+    # scan variant + uint8-only contract
+    scan_folded = make_scan_encoder(model.apply, params, fold_u8=True)
+    got_scan = np.asarray(scan_folded(u8[None]))[0]
+    np.testing.assert_allclose(got_scan, want, atol=2e-4 * scale, rtol=1e-3)
+    with pytest.raises(ValueError, match="uint8"):
+        folded(u8.astype(jnp.float32))
+    with pytest.raises(ValueError, match="uint8"):
+        scan_folded(u8[None].astype(jnp.float32))
+
+    # the fold touches only patch_embed + position_embedding, CLS pos row
+    # untouched
+    f = fold_u8_normalize_params(params["params"])
+    np.testing.assert_array_equal(
+        np.asarray(f["position_embedding"][0]),
+        np.asarray(params["params"]["position_embedding"][0]))
