@@ -12,12 +12,13 @@ MXU executes int8 at twice the bf16 rate — with
 
 At the plain-XLA level the int8 MXU win is unreachable (dynamic-quant and
 dequant passes round-trip activations through HBM and measure no faster
-than bf16); the Pallas fusion is what delivers it — measured **6,125 vs
-~3,000 img/s (2.0×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
-cosine 0.9998 vs the bf16 tower on drawing-like inputs (softmax-pass
+than bf16); the Pallas fusion is what delivers it — measured **6,516 vs
+~3,000 img/s (2.1×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
+cosine ≥0.999 vs the bf16 tower on drawing-like inputs (softmax-pass
 elimination in ``quant_matmul._attn_sublayer_f32`` accounts for the step
-past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — for the
-step past 5.6k).  Patch
+past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — past
+5.6k; 4-image grouped attention — full 128-row MXU tiles,
+``_qattn_group_kernel`` — past 6.1k).  Patch
 embedding, layernorms, softmax, and the final projection stay in bf16/f32:
 they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;
@@ -99,13 +100,21 @@ class Int8Attention(nn.Module):
 
 
 class Int8Block(nn.Module):
-    """One transformer layer = ONE fused kernel (``quant_layer_block``):
-    attention + MLP sub-layers with both residuals; all four int8 weight
-    matrices stay VMEM-resident and the residual stream touches HBM once."""
+    """One transformer layer.  Two execution shapes, same params:
+
+    * ``attn_group=0`` — ONE fused kernel (``quant_layer_block``):
+      attention + MLP sub-layers with both residuals; all four int8 weight
+      matrices stay VMEM-resident and the residual stream touches HBM once.
+    * ``attn_group=G`` — grouped attention kernel (G images per grid step,
+      every projection at M=G·S full MXU tiles) + the flattened-M MLP
+      kernel.  Measured faster for ViT-B/16 @224 when batch % 4 == 0
+      (142.4 vs 148 μs/img for the 12-layer stack, bit-identical —
+      quant_matmul._qattn_group_kernel)."""
 
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.bfloat16
+    attn_group: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array,
@@ -122,6 +131,13 @@ class Int8Block(nn.Module):
                         (self.mlp_dim, d), jnp.int8)
         s2 = self.param("mlp_out_s", nn.initializers.ones, (d,))
         b2 = self.param("mlp_out_b", nn.initializers.zeros, (d,))
+        if self.attn_group > 1 and x.shape[0] % self.attn_group == 0:
+            x = quant_attention_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so,
+                                      bo, self.num_heads,
+                                      valid_len=valid_len,
+                                      group=self.attn_group)
+            return quant_mlp_block(x, ln2_s, ln2_b, w1, s1, b1,
+                                   w2, s2, b2)
         return quant_layer_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so, bo,
                                  ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
                                  self.num_heads, valid_len=valid_len)
@@ -159,8 +175,13 @@ class Int8VisionTransformer(nn.Module):
         seq_pad = -(-max(seq, 32) // 32) * 32
         if seq_pad != seq:
             x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
+        # 4 images per attention grid step → all projections at full
+        # 128-row MXU tiles (S=224 alone wastes 32/256 of every matmul);
+        # per-image whole-layer kernel otherwise
+        group = 4 if b % 4 == 0 else 0
         for i in range(cfg.num_layers):
             x = Int8Block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
+                          attn_group=group,
                           name=f"block_{i}")(x, valid_len=seq)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,

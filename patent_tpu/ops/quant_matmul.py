@@ -437,6 +437,109 @@ def _qattn_block_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
     )(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
 
 
+def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                        sqkv_ref, bqkv_ref, wout_ref, sout_ref, bout_ref,
+                        o_ref, *, seq_len: int, num_heads: int,
+                        head_dim: int, group: int, fast: bool):
+    """``group`` images per grid step: every int8 projection runs at
+    M = group·Sp rows.  The MXU rounds M up to the next 128-row tile, so
+    the per-image M=224 (ViT-B/16 @224, padded) wastes 32/256 of the
+    matmul — measured 270 vs 301 TOP/s for m_tile 224 vs 256 on v5e.  At
+    group=4, M=896=7·128 exactly; same-process 12-layer-stack A/B:
+    142.4 vs 148 μs/img against the per-image whole-layer kernel
+    (grouped attention composed with the flattened-M quant_mlp_block),
+    bit-identical output.
+
+    qkv is computed as THREE [D, D] projections (q/k/v weight slices are
+    split host-side): one [G·Sp, 3D] f32 accumulator plus its bf16 copy
+    exceeds even the raised VMEM budget, while per-projection accumulators
+    peak at [G·Sp, D] and free between projections.  exp2-domain softmax,
+    pad-key masking and the denominator-in-the-matmul trick are identical
+    to ``_attn_sublayer_f32``."""
+    quant = _quant_rows_k if fast else _quant_rows
+    g, sp, d = x_ref.shape
+    xa = x_ref[...].astype(jnp.float32).reshape(g * sp, d)
+    h = _layernorm_f32(xa, lns_ref[...], lnb_ref[...])
+    hq, hs = quant(h)
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+
+    def proj(w_ref, sl, fold):
+        acc = jax.lax.dot(hq, w_ref[...], preferred_element_type=jnp.int32)
+        f = scale if fold else 1.0
+        return (acc.astype(jnp.float32) * hs * (sqkv_ref[:, sl] * f)
+                + bqkv_ref[:, sl] * f).astype(jnp.bfloat16)
+
+    q16 = proj(wq_ref, slice(0, d), True)
+    k16 = proj(wk_ref, slice(d, 2 * d), False)
+    v16 = proj(wv_ref, slice(2 * d, 3 * d), False)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    valid = (rowi < seq_len).astype(jnp.bfloat16)
+    aos = []
+    for gi in range(g):
+        r0 = gi * sp
+        heads = []
+        for i in range(num_heads):
+            lo = i * head_dim
+            q = q16[r0:r0 + sp, lo:lo + head_dim]
+            k = k16[r0:r0 + sp, lo:lo + head_dim]
+            v = v16[r0:r0 + sp, lo:lo + head_dim]
+            v_ext = jnp.concatenate([v * valid, valid], axis=1)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(jnp.bfloat16)
+            o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+            den = o_ext[:, head_dim:head_dim + 1]
+            heads.append(o_ext[:, :head_dim] * _recip(den) if fast
+                         else o_ext[:, :head_dim] / den)
+        aos.append(jnp.concatenate(heads, axis=1))
+    ao = jnp.concatenate(aos, axis=0)                      # [G·Sp, D]
+    aq, ascale = quant(ao)
+    out = (jax.lax.dot(aq, wout_ref[...],
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+           * ascale * sout_ref[...] + bout_ref[...])
+    o_ref[...] = (x_ref[...].astype(jnp.float32)
+                  + out.reshape(g, sp, d)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "out_dtype",
+                                             "group", "fast"))
+def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
+                      seq_len, num_heads, head_dim, out_dtype, group,
+                      fast=True):
+    b, sp, d = x.shape
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 3 * d + 4 * sp * sp * d + 2 * sp * d * d)
+    return pl.pallas_call(
+        functools.partial(_qattn_group_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          group=group, fast=fast),
+        grid=(b // group,),
+        in_specs=[xspec, const(lns.shape), const(lnb.shape),
+                  const((d, d)), const((d, d)), const((d, d)),
+                  const(sqkv.shape), const(bqkv.shape),
+                  const(wout.shape), const(sout.shape), const(bout.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * 2 * b * sp * d + 4 * d * d,
+            transcendentals=b * num_heads * sp * sp),
+        # the group's working set (~18 MB at G=4/S=224/D=768) exceeds
+        # Mosaic's default 16 MB scoped-vmem budget; v5e executes fine with
+        # the raised cap (verified on hardware, outputs bit-identical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, lns, lnb, wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:],
+      sqkv, bqkv, wout, sout, bout)
+
+
 def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                           ln_bias: jax.Array, wqkv_i8: jax.Array,
                           sqkv: jax.Array, bqkv: jax.Array,
@@ -444,7 +547,8 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                           bout: jax.Array, num_heads: int,
                           valid_len: int | None = None,
                           force: bool = False,
-                          fast: bool | None = None) -> jax.Array:
+                          fast: bool | None = None,
+                          group: int = 1) -> jax.Array:
     """Fused ``x + out_proj(MHA(qkv_proj(LayerNorm(x))))`` — the whole
     pre-LN attention sub-layer (residual included) as one Pallas kernel with
     int8 projections.
@@ -459,6 +563,11 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
     of 32 (int8 sublane tile).  Rows ≥ valid_len are masked as attention
     KEYS (queries in the pad region produce bounded junk that the caller
     discards).
+
+    ``group``: process that many images per grid step so every projection
+    matmul runs at M = group·S (full 128-row MXU tiles at group=4 for
+    S=224 — see _qattn_group_kernel).  Requires B divisible by group;
+    falls back to per-image when it isn't.  Output is bit-identical.
     """
     b, s, d = x.shape
     head_dim = d // num_heads
@@ -488,14 +597,17 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
         if s % 32 != 0:
             raise ValueError(f"pre-padded S={s} must be a multiple of 32")
         xp, seq_len = x, valid_len
-    out = _qattn_block_impl(
-        xp, ln_scale.reshape(1, -1).astype(jnp.float32),
-        ln_bias.reshape(1, -1).astype(jnp.float32), wqkv_i8,
-        sqkv.reshape(1, -1).astype(jnp.float32),
-        bqkv.reshape(1, -1).astype(jnp.float32), wout_i8,
-        sout.reshape(1, -1).astype(jnp.float32),
-        bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
-        head_dim, jnp.dtype(x.dtype).name, _fast(fast))
+    args = (xp, ln_scale.reshape(1, -1).astype(jnp.float32),
+            ln_bias.reshape(1, -1).astype(jnp.float32), wqkv_i8,
+            sqkv.reshape(1, -1).astype(jnp.float32),
+            bqkv.reshape(1, -1).astype(jnp.float32), wout_i8,
+            sout.reshape(1, -1).astype(jnp.float32),
+            bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
+            head_dim, jnp.dtype(x.dtype).name)
+    if group > 1 and b % group == 0:
+        out = _qattn_group_impl(*args, group, _fast(fast))
+    else:
+        out = _qattn_block_impl(*args, _fast(fast))
     return out if valid_len is not None else out[:, :s, :]
 
 

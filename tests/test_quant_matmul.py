@@ -182,3 +182,22 @@ def test_quant_mlp_block_kernel_matches_fallback(rng):
                                           fast=True))
     denom = np.maximum(np.max(np.abs(np.asarray(want))), 1e-6)
     assert np.max(np.abs(fastv - np.asarray(want))) / denom < 5e-2
+
+
+def test_quant_attention_block_grouped_matches_per_image(rng):
+    """group=G processes G images per grid step with M=G·S projections —
+    results must match the per-image kernel (identical math, same
+    quantization decisions)."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, b=4,
+                                                                   s=64)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    per = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True))
+    grp = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4))
+    denom = np.max(np.abs(per[:, :50]))
+    assert np.max(np.abs(grp[:, :50] - per[:, :50])) / denom < 1e-3
+    # batch not divisible by group → silent per-image fallback, same result
+    grp3 = np.asarray(qm.quant_attention_block(
+        x[:3], *args, num_heads=4, valid_len=50, force=True, group=4))
+    np.testing.assert_allclose(grp3[:, :50], per[:3, :50], atol=1e-5)
