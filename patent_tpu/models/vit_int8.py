@@ -12,13 +12,14 @@ MXU executes int8 at twice the bf16 rate — with
 
 At the plain-XLA level the int8 MXU win is unreachable (dynamic-quant and
 dequant passes round-trip activations through HBM and measure no faster
-than bf16); the Pallas fusion is what delivers it — measured **6,516 vs
-~3,000 img/s (2.1×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
+than bf16); the Pallas fusion is what delivers it — measured **6,969 vs
+~3,000 img/s (2.3×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
 cosine ≥0.999 vs the bf16 tower on drawing-like inputs (softmax-pass
 elimination in ``quant_matmul._attn_sublayer_f32`` accounts for the step
 past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — past
 5.6k; 4-image grouped attention — full 128-row MXU tiles,
-``_qattn_group_kernel`` — past 6.1k).  Patch
+``_qattn_group_kernel`` — past 6.1k; S padded to 208 instead of 224 under
+grouping past 6.5k).  Patch
 embedding, layernorms, softmax, and the final projection stay in bf16/f32:
 they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;
@@ -172,13 +173,19 @@ class Int8VisionTransformer(nn.Module):
         # (index 0) is always valid — saves a pad+slice copy of the
         # [B, S, D] stream per layer
         seq = x.shape[1]
-        seq_pad = -(-max(seq, 32) // 32) * 32
-        if seq_pad != seq:
-            x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
         # 4 images per attention grid step → all projections at full
         # 128-row MXU tiles (S=224 alone wastes 32/256 of every matmul);
-        # per-image whole-layer kernel otherwise
+        # per-image whole-layer kernel otherwise.  The grouped path only
+        # needs S%16 with group·S%32 (int8 tiles apply to the FLATTENED
+        # group), so 197 tokens pad to 208 instead of 224 — 7% fewer rows
+        # through every projection/MLP, 14% fewer score elements
         group = 4 if b % 4 == 0 else 0
+        quantum = 16 if group and (group * 16) % 32 == 0 else 32
+        seq_pad = -(-max(seq, quantum) // quantum) * quantum
+        if group and (group * seq_pad) % 32 != 0:
+            seq_pad = -(-seq_pad // 32) * 32
+        if seq_pad != seq:
+            x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
         for i in range(cfg.num_layers):
             x = Int8Block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                           attn_group=group,

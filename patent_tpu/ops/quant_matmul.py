@@ -568,6 +568,13 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
     matmul runs at M = group·S (full 128-row MXU tiles at group=4 for
     S=224 — see _qattn_group_kernel).  Requires B divisible by group;
     falls back to per-image when it isn't.  Output is bit-identical.
+    The grouped path also RELAXES the pre-padded-S constraint: only the
+    flattened group needs int8 32-sublane tiles, so S may be any multiple
+    of 16 (bf16 sublane tile, for the per-image q/k/v row slices) with
+    group·S a multiple of 32 — e.g. S=208 instead of 224 for ViT-B/16's
+    197 tokens, which cuts 7% of every projection/MLP row and 14% of the
+    score elements (measured 132.6 vs 143.6 μs/img for the 12-layer
+    grouped stack).
     """
     b, s, d = x.shape
     head_dim = d // num_heads
@@ -589,12 +596,21 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
         ao = ao.reshape(b, s, d)
         return x + quant_dense(ao, wout_i8, sout, bout).astype(x.dtype)
 
+    use_group = group > 1 and b % group == 0
     if valid_len is None:
-        sp = _round_up(max(s, 32), 32)   # int8 rows need 32-sublane tiles
+        quantum = 16 if use_group and (group * 16) % 32 == 0 else 32
+        sp = _round_up(max(s, quantum), quantum)
+        if use_group and (group * sp) % 32 != 0:
+            sp = _round_up(sp, 32)
         xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         seq_len = s
     else:
-        if s % 32 != 0:
+        if use_group:
+            if s % 16 != 0 or (group * s) % 32 != 0:
+                raise ValueError(
+                    f"grouped pre-padded S={s} must be a multiple of 16 "
+                    f"with group·S a multiple of 32")
+        elif s % 32 != 0:
             raise ValueError(f"pre-padded S={s} must be a multiple of 32")
         xp, seq_len = x, valid_len
     args = (xp, ln_scale.reshape(1, -1).astype(jnp.float32),
@@ -604,7 +620,7 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
             sout.reshape(1, -1).astype(jnp.float32),
             bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
             head_dim, jnp.dtype(x.dtype).name)
-    if group > 1 and b % group == 0:
+    if use_group:
         out = _qattn_group_impl(*args, group, _fast(fast))
     else:
         out = _qattn_block_impl(*args, _fast(fast))

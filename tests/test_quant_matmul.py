@@ -204,3 +204,27 @@ def test_quant_attention_block_grouped_matches_per_image(rng):
     grp3 = np.asarray(qm.quant_attention_block(
         x[:3], *args, num_heads=4, valid_len=50, force=True, group=4))
     np.testing.assert_allclose(grp3[:, :50], per[:3, :50], atol=1e-5)
+
+
+def test_quant_attention_block_grouped_relaxed_seq_tiles(rng):
+    """Grouped pre-padded S needs only S%16 with group·S%32 (int8 tiles
+    apply to the flattened group): S=48 is rejected per-image but accepted
+    grouped, and matches the XLA oracle."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, b=4,
+                                                                   s=48)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    with pytest.raises(ValueError, match="multiple of 32"):
+        qm.quant_attention_block(x, *args, num_heads=4, valid_len=40,
+                                 force=True)
+    got = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=40, force=True, group=4))
+    want = np.asarray(qm.quant_attention_block(
+        x[:, :40], *args, num_heads=4))           # XLA fallback oracle
+    denom = np.max(np.abs(want))
+    assert np.max(np.abs(got[:, :40] - want)) / denom < 2e-2
+    # odd-16 S with odd group·S would break int8 tiles → rejected
+    x3 = jnp.zeros((2, 48, 128), jnp.float32)
+    with pytest.raises(ValueError, match="multiple of 16"):
+        qm.quant_attention_block(jnp.zeros((2, 24, 128), jnp.float32),
+                                 *args, num_heads=4, valid_len=20,
+                                 force=True, group=2)
