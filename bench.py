@@ -75,6 +75,9 @@ def _timed_throughput(fn, fetch, units_per_iter: int,
         if dt > 0.05 * t_large:
             return (n_large - n_small) * units_per_iter / dt
         t_small = min(t_small, run(n_small))
+    dt = t_large - t_small            # the last re-measure counts too
+    if dt > 0.05 * t_large:
+        return (n_large - n_small) * units_per_iter / dt
     return n_large * units_per_iter / t_large
 
 
@@ -119,11 +122,16 @@ def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:
     model8 = Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
     params8 = {"params": quantize_vit_params(params["params"])}
     encode_many8 = make_scan_encoder(model8.apply, params8)
-    # one unique drawing batch in [0, 1], tiled across scan steps (the
-    # scan-encoder normalizes on device); content doesn't affect timing
+    # one unique drawing batch as RAW uint8 — the serving wire format —
+    # tiled across scan steps.  uint8 makes device_normalize actually run
+    # (float input passes through "assumed pre-normalized"), so both the
+    # timing and the int8↔bf16 cosine see the true serving activation
+    # statistics (CLIP-normalized ~[-1.8, 2.2]), and the megabatch ships
+    # 4× less data through the tunnel
     drawings = synthetic_drawing_arrays(batch_size, 224, seed=0)
+    draw_u8 = (drawings * 255.0).astype(np.uint8)
     batches = jnp.asarray(np.broadcast_to(
-        drawings[None], (scan_batches, *drawings.shape)).copy())
+        draw_u8[None], (scan_batches, *draw_u8.shape)).copy())
     sum_jit = jax.jit(jnp.sum)
     f8 = np.asarray(encode_many8(batches), np.float32)    # compile + fetch
     ips8, spread8 = _timed_spread(lambda: encode_many8(batches),
@@ -546,13 +554,15 @@ def main() -> None:
     emit()
     section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
     emit()
+    # hyp-train BEFORE the 1M-gallery benches: the big gallery allocations
+    # fragment HBM/host memory and depress the small-step timing
+    section("hyp_train", est_cost_s=150, fn=run_hyp)
+    emit()
     section("topk_1M", est_cost_s=75, fn=run_topk)
     emit()
     section("topk_1M_int8", est_cost_s=90, fn=run_topk_int8)
     emit()
     section("poincare_200k", est_cost_s=45, fn=run_poincare)
-    emit()
-    section("hyp_train", est_cost_s=90, fn=run_hyp)
 
     result["extras"]["status"] = "complete"
     result["extras"]["section_times"] = sections_run

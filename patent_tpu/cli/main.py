@@ -288,9 +288,8 @@ def main(argv: list[str] | None = None) -> int:
         engine = RetrievalEngine(encode, batch_size=32,
                                  image_size=image_size, num_workers=4,
                                  input_dtype="u8")
-        tag = "_int8" if args.quantize else ""
-        prefix = os.path.join(args.path, "embeddings",
-                              f"index_{os.path.basename(gallery_dir)}{tag}")
+        from ..retrieval.cli_actions import index_prefix
+        prefix = index_prefix(args.path, gallery_dir, args.quantize)
         if os.path.exists(prefix + ".npy"):
             engine.load_embeddings(prefix)
         else:

@@ -34,8 +34,8 @@ def normalize_adjacency(a: jax.Array, out_dtype=None) -> jax.Array:
     return out.astype(out_dtype) if out_dtype is not None else out
 
 
-def normalize_adjacency_host(a: "np.ndarray",
-                             out_dtype: str = "bfloat16") -> "np.ndarray":
+def normalize_adjacency_host(a: "np.ndarray", out_dtype: str = "bfloat16",
+                             blk: int = 4096) -> "np.ndarray":
     """Host-side (numpy, in-place where possible) version of
     ``normalize_adjacency`` for graphs too big to normalize on device: the
     eager device path materializes several N×N f32 intermediates (a 44k
@@ -45,29 +45,26 @@ def normalize_adjacency_host(a: "np.ndarray",
     import numpy as np
 
     a = np.array(a, np.float32, copy=True)
-    # cheap symmetry spot-check: this path SKIPS the (A+Aᵀ)/2 pass the
-    # device path performs (symmetric inputs make it redundant, see below),
-    # so a non-symmetric adjacency must fail loudly instead of silently
-    # diverging from normalize_adjacency once the graph crosses the
-    # host-path size threshold in train_gcn
     n = a.shape[0]
-    rng = np.random.default_rng(0)
-    ii = rng.integers(0, n, 256)
-    jj = rng.integers(0, n, 256)
-    if not np.allclose(a[ii, jj], a[jj, ii], atol=1e-5):
-        raise ValueError(
-            "normalize_adjacency_host requires a symmetric adjacency "
-            "(it skips the re-symmetrization pass); symmetrize first or "
-            "use normalize_adjacency")
     np.fill_diagonal(a, a.diagonal() + 1.0)
     d = 1.0 / np.sqrt(1e-10 + a.sum(axis=1))
     a *= d[:, None]
     a *= d[None, :]
-    # no (a + a.Tᵀ)/2 re-symmetrization here: adjacency inputs are symmetric
-    # by construction (graph_build emits A = blocks + blocksᵀ), so
-    # d_i·a_ij·d_j is already symmetric up to ~1e-7 FP noise — far below
-    # the bf16 rounding this path quantizes to — and the transposed add is
-    # a cache-hostile multi-minute pass at 44k nodes
+    # blocked in-place (M + Mᵀ)/2 — the SAME re-symmetrization the device
+    # path performs, so asymmetric (or float-noisy near-symmetric) inputs
+    # produce identical results on both paths instead of diverging at the
+    # train_gcn size threshold.  Block tiles keep the transposed access
+    # cache-resident (a naive a + a.T at 44k nodes is a cache-hostile
+    # full-matrix gather); ~2 passes over the matrix, seconds at 44k.
+    for i0 in range(0, n, blk):
+        i1 = min(i0 + blk, n)
+        diag = a[i0:i1, i0:i1]
+        a[i0:i1, i0:i1] = 0.5 * (diag + diag.T)
+        for j0 in range(i1, n, blk):
+            j1 = min(j0 + blk, n)
+            avg = 0.5 * (a[i0:i1, j0:j1] + a[j0:j1, i0:i1].T)
+            a[i0:i1, j0:j1] = avg
+            a[j0:j1, i0:i1] = avg.T
     return a.astype(ml_dtypes.bfloat16 if out_dtype == "bfloat16"
                     else out_dtype)
 

@@ -132,7 +132,10 @@ class Int8Block(nn.Module):
                         (self.mlp_dim, d), jnp.int8)
         s2 = self.param("mlp_out_s", nn.initializers.ones, (d,))
         b2 = self.param("mlp_out_b", nn.initializers.zeros, (d,))
-        if self.attn_group > 1 and x.shape[0] % self.attn_group == 0:
+        if self.attn_group > 1:
+            # quant_attention_block handles the ragged-batch fallback
+            # internally (per-image kernel, re-padding a relaxed-16 stream
+            # to 32 as needed); quant_mlp_block accepts any S
             x = quant_attention_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so,
                                       bo, self.num_heads,
                                       valid_len=valid_len,

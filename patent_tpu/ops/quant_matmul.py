@@ -610,9 +610,22 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                 raise ValueError(
                     f"grouped pre-padded S={s} must be a multiple of 16 "
                     f"with group·S a multiple of 32")
+            xp = x
         elif s % 32 != 0:
-            raise ValueError(f"pre-padded S={s} must be a multiple of 32")
-        xp, seq_len = x, valid_len
+            # a RELAXED-S stream (padded to 16 for the grouped path) can
+            # reach the per-image kernel on a ragged batch (B % group != 0)
+            # — honor the documented fallback by re-padding to the
+            # per-image 32-sublane tile instead of raising; the extra rows
+            # join the already-masked pad-key region and are sliced off
+            if s % 16 != 0:
+                raise ValueError(
+                    f"pre-padded S={s} must be a multiple of 32 (or 16 "
+                    f"for the grouped path)")
+            sp32 = _round_up(s, 32)
+            xp = jnp.pad(x, ((0, 0), (0, sp32 - s), (0, 0)))
+        else:
+            xp = x
+        seq_len = valid_len
     args = (xp, ln_scale.reshape(1, -1).astype(jnp.float32),
             ln_bias.reshape(1, -1).astype(jnp.float32), wqkv_i8,
             sqkv.reshape(1, -1).astype(jnp.float32),
@@ -624,7 +637,9 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
         out = _qattn_group_impl(*args, group, _fast(fast))
     else:
         out = _qattn_block_impl(*args, _fast(fast))
-    return out if valid_len is not None else out[:, :s, :]
+    if valid_len is not None:
+        return out[:, :s, :] if out.shape[1] != s else out
+    return out[:, :s, :]
 
 
 def _mlp_sublayer_f32(x, lns, lnb, w1_ref, s1, b1, w2_ref, s2, b2,

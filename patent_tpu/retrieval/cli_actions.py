@@ -13,6 +13,16 @@ import json
 import os
 
 
+def index_prefix(path: str, gallery_dir: str, quantize: bool) -> str:
+    """Precision-tagged on-disk index prefix: an int8 serving run must never
+    silently load a bf16-encoded gallery (the reference evaluates exactly
+    the tower it serves, retrieval.ipynb cell 3).  The single source of
+    truth for every CLI entry point that reads or writes an index."""
+    tag = "_int8" if quantize else ""
+    return os.path.join(path, "embeddings",
+                        f"index_{os.path.basename(gallery_dir)}{tag}")
+
+
 def _build_encoder(args, image_size: int):
     import jax
     import jax.numpy as jnp
@@ -157,12 +167,8 @@ def run_retrieval_action(action: str, args) -> int:
     encode = _build_encoder(args, image_size)
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
                              num_workers=4, input_dtype="u8")
-    # precision-tagged index: an int8 serving run must never silently load
-    # a bf16-encoded gallery (the reference evaluates exactly the tower it
-    # serves, retrieval.ipynb cell 3)
-    tag = "_int8" if getattr(args, "quantize", False) else ""
-    prefix = os.path.join(args.path, "embeddings",
-                          f"index_{os.path.basename(gallery_dir)}{tag}")
+    prefix = index_prefix(args.path, gallery_dir,
+                          getattr(args, "quantize", False))
 
     if action == "encode":
         index = engine.encode_dataset(gallery_dir, save_prefix=prefix)

@@ -121,6 +121,21 @@ def test_normalize_adjacency_host_matches_device():
     got = np.asarray(normalize_adjacency_host(a), np.float32)
     np.testing.assert_allclose(got, want, atol=2e-3)
 
+    # ASYMMETRIC input: the blocked host re-symmetrization must mirror the
+    # device path's (M + Mᵀ)/2 exactly (same order: normalize, then
+    # symmetrize), including across block boundaries
+    a2 = (rng.random((100, 100)) < 0.15).astype(np.float32)   # not symmetric
+    want2 = np.asarray(normalize_adjacency(jnp.asarray(a2),
+                                           out_dtype=jnp.bfloat16),
+                       np.float32)
+    # blk=32 forces multiple blocks on a 100-node graph (cross-block pairs
+    # + the ragged tail block)
+    got2 = np.asarray(normalize_adjacency_host(a2, blk=32), np.float32)
+    np.testing.assert_allclose(got2, want2, atol=2e-3)
+    sym = np.asarray(normalize_adjacency_host(a2, out_dtype="float32",
+                                              blk=32))
+    np.testing.assert_allclose(sym, sym.T, atol=1e-6)
+
 
 def test_bf16_adjacency_close_to_f32():
     """The big-graph memory path (bf16 A_tilde, f32 accumulation) tracks
