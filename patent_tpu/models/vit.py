@@ -107,9 +107,13 @@ class Attention(nn.Module):
             wqkv, bqkv = _DenseParams(3 * d, name="qkv")(d)
             wout, bout = _DenseParams(d, name="out")(d)
             cast = lambda t: t.astype(self.dtype)  # noqa: E731
+            # 4 images per grid step when the batch allows: full 128-row
+            # MXU tiles on the projections (same win as the int8 tower's
+            # grouped attention; differentiable — shared recompute VJP)
+            group = 4 if x.ndim == 3 and x.shape[0] % 4 == 0 else 1
             return fused_attention_block(
                 x.astype(self.dtype), cast(wqkv), cast(bqkv), cast(wout),
-                cast(bout), self.num_heads)
+                cast(bout), self.num_heads, group=group)
         # fused QKV: one [d, 3d] matmul instead of three — better MXU tiling
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)

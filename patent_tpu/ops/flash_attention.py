@@ -380,21 +380,108 @@ def _attn_bwd_impl(qkv: jax.Array, da: jax.Array, seq_len: int,
     )(qkv, da)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fab_core(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim):
+def _fab_group_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
+                      out_ref, *, seq_len: int, num_heads: int,
+                      head_dim: int, group: int):
+    """``group`` images per grid step (bf16 twin of
+    quant_matmul._qattn_group_kernel): the qkv projection runs at
+    M = group·Sp rows — full 128-row MXU tiles at group=4/Sp=208 instead
+    of the per-image M=208 that wastes 48/256 of the matmul — and the
+    output projection becomes ONE full-width [G·Sp, D]×[D, D] dot on the
+    concatenated head outputs instead of the per-image kernel's 12
+    K=64 partial-depth dots."""
+    g, sp, d3 = x_ref.shape[0], x_ref.shape[1], 3 * num_heads * head_dim
+    d = num_heads * head_dim
+    xa = x_ref[...].reshape(g * sp, d)
+    qkv = (jax.lax.dot_general(
+        xa, wqkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bqkv_ref[...].astype(jnp.float32)).astype(xa.dtype)
+    valid = _valid_col(sp, seq_len, xa.dtype)
+    aos = []
+    for gi in range(g):
+        r0 = gi * sp
+        heads = []
+        for h in range(num_heads):
+            lo = h * head_dim
+            q = qkv[r0:r0 + sp, lo:lo + head_dim]
+            k = qkv[r0:r0 + sp, d + lo:d + lo + head_dim]
+            v = qkv[r0:r0 + sp, 2 * d + lo:2 * d + lo + head_dim]
+            v_ext = jnp.concatenate([v * valid, valid], axis=1)
+            heads.append(_one_pass_softmax_pv(q, k, v_ext, head_dim))
+        aos.append(jnp.concatenate(heads, axis=1))
+    ao = jnp.concatenate(aos, axis=0).astype(xa.dtype)     # [G·Sp, D]
+    out = (jax.lax.dot_general(
+        ao, wout_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bout_ref[...].astype(jnp.float32))
+    out_ref[...] = out.reshape(g, sp, d).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "group"))
+def _fab_group_core(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                    wout: jax.Array, bout: jax.Array, seq_len: int,
+                    num_heads: int, head_dim: int, group: int) -> jax.Array:
+    b, sp, d = x.shape
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops_attn = 4 * sp * sp * d
+    flops_proj = 2 * sp * d * (3 * d) + 2 * sp * d * d
+    return pl.pallas_call(
+        functools.partial(_fab_group_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          group=group),
+        grid=(b // group,),
+        in_specs=[xspec, const_spec(wqkv.shape), const_spec(bqkv.shape),
+                  const_spec(wout.shape), const_spec(bout.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=b * (flops_attn + flops_proj),
+            bytes_accessed=2 * 2 * b * sp * d + 8 * d * d,
+            transcendentals=b * num_heads * sp * sp,
+        ),
+        # the group's working set exceeds Mosaic's default 16 MB scoped
+        # budget; v5e executes fine with the raised cap (same discovery as
+        # the int8 grouped kernel, verified on hardware)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, wqkv, bqkv, wout, bout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fab_core(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim,
+              group=1):
     """Differentiable fused attention block on PADDED [B, Sp, D] input with
-    PRE-FOLDED (score-scaled) qkv weights."""
+    PRE-FOLDED (score-scaled) qkv weights.  ``group``>1 runs the grouped
+    forward kernel (full-tile projections); the backward is forward-
+    agnostic (it recomputes from the saved inputs), so both variants share
+    it."""
+    if group > 1:
+        return _fab_group_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
+                               num_heads, head_dim, group)
     return _fused_attn_block_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
                                   num_heads, head_dim)
 
 
-def _fab_fwd(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim):
-    out = _fused_attn_block_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
-                                 num_heads, head_dim)
+def _fab_fwd(x, wqkv_f, bqkv_f, wout, bout, seq_len, num_heads, head_dim,
+             group=1):
+    if group > 1:
+        out = _fab_group_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
+                              num_heads, head_dim, group)
+    else:
+        out = _fused_attn_block_core(x, wqkv_f, bqkv_f, wout, bout, seq_len,
+                                     num_heads, head_dim)
     return out, (x, wqkv_f, bqkv_f, wout)
 
 
-def _fab_bwd(seq_len, num_heads, head_dim, res, dout):
+def _fab_bwd(seq_len, num_heads, head_dim, group, res, dout):
     x, wqkv_f, bqkv_f, wout = res
     b, sp, d = x.shape
     dout32 = dout.astype(jnp.float32)
@@ -426,12 +513,17 @@ _fab_core.defvjp(_fab_fwd, _fab_bwd)
 
 def fused_attention_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                           wout: jax.Array, bout: jax.Array, num_heads: int,
-                          force: bool = False) -> jax.Array:
+                          force: bool = False, group: int = 1) -> jax.Array:
     """Full attention sub-layer ``(x @ Wqkv + b) → MHA → @ Wout + b`` fused
     into one Pallas kernel (pre-residual output).
 
     x: [B, S, D] (post-LN activations); wqkv: [D, 3D]; bqkv: [3D];
     wout: [D, D]; bout: [D].  Returns [B, S, D].
+
+    ``group``: images per grid step (see _fab_group_kernel) — full-tile
+    projections + one full-width out matmul; DIFFERENTIABLE like the
+    per-image kernel (shared recompute backward).  Falls back per-image
+    when B isn't divisible.
 
     On non-TPU backends (or without force) falls back to the equivalent
     XLA einsum chain.
@@ -459,8 +551,9 @@ def fused_attention_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     # activations need 16 on the second-minor axis)
     sp = _round_up(max(s, 16), 16)
     xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
+    g = group if group > 1 and b % group == 0 else 1
     out = _fab_core(xp, wqkv_f, bqkv_f, wout, bout.reshape(1, -1), s,
-                    num_heads, head_dim)
+                    num_heads, head_dim, g)
     return out[:, :s, :]
 
 

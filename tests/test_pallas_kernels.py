@@ -266,3 +266,43 @@ def test_flash_attention_headbatch_matches_xla(rng):
     want = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-3, rtol=2e-2)
+
+
+def test_fused_attention_block_grouped_matches_per_image(rng):
+    """group=G (full-tile projections + one full-width out matmul) matches
+    the per-image kernel forward AND backward (shared recompute VJP)."""
+    from patent_tpu.ops.flash_attention import fused_attention_block
+
+    b, s, h, hd = 4, 13, 4, 16
+    d = h * hd
+    x = jnp.asarray(rng.standard_normal((b, s, d)) * 0.5, jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((d, 3 * d)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * d) * 0.1, jnp.float32)
+    wout = jnp.asarray(rng.standard_normal((d, d)) * 0.1, jnp.float32)
+    bout = jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32)
+    per = np.asarray(fused_attention_block(x, wqkv, bqkv, wout, bout, h,
+                                           force=True))
+    grp = np.asarray(fused_attention_block(x, wqkv, bqkv, wout, bout, h,
+                                           force=True, group=4))
+    denom = np.max(np.abs(per))
+    assert np.max(np.abs(grp - per)) / denom < 1e-3
+    # ragged batch → silent per-image fallback
+    grp3 = np.asarray(fused_attention_block(x[:3], wqkv, bqkv, wout, bout,
+                                            h, force=True, group=4))
+    np.testing.assert_allclose(grp3, per[:3], atol=denom * 1e-3)
+
+    # gradients: grouped fwd + shared recompute bwd vs XLA autodiff
+    cot = jnp.asarray(rng.standard_normal((b, s, d)), jnp.float32)
+
+    def loss(args, **kw):
+        out = fused_attention_block(*args, num_heads=h, **kw)
+        return jnp.sum(out * cot)
+
+    g_grp = jax.grad(lambda a: loss(a, force=True, group=4))(
+        (x, wqkv, bqkv, wout, bout))
+    g_xla = jax.grad(lambda a: loss(a))((x, wqkv, bqkv, wout, bout))
+    for name, gk, gx in zip(["dx", "dwqkv", "dbqkv", "dwout", "dbout"],
+                            g_grp, g_xla):
+        dn = np.max(np.abs(np.asarray(gx))) + 1e-9
+        err = np.max(np.abs(np.asarray(gk) - np.asarray(gx))) / dn
+        assert err < 2e-2, f"{name} grad mismatch: rel {err:.3e}"
