@@ -156,3 +156,35 @@ def test_per_host_input_sharding(setup):
 def test_mesh_validation(eight_devices):
     with pytest.raises(ValueError, match="not divisible"):
         make_hyp_mesh(7, model_dim=2, devices=eight_devices[:7])
+
+
+def test_encode_sharded_matches_single_device(eight_devices):
+    """Data-parallel serving encoder (parallel/mesh.encode_sharded): batch
+    sharded over the 8-device ``data`` axis, params replicated — output
+    matches the single-device apply bitwise-close, and the device batch is
+    genuinely split (each chip holds B/8 rows).  This is the fleet-scale
+    encode story for retrieval.ipynb cell 2's loop: N chips → N× images."""
+    from patent_tpu.models.vit import VIT_TINY, VisionTransformer
+    from patent_tpu.parallel.mesh import (data_parallel_sharding,
+                                          encode_sharded, make_mesh,
+                                          shard_batch)
+
+    model = VisionTransformer(VIT_TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((16, 32, 32, 3)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), imgs[:1])
+
+    single = np.asarray(jax.jit(model.apply)(params, imgs))
+
+    mesh = make_mesh((8, 1), devices=eight_devices)
+    enc = encode_sharded(mesh, model.apply, params)
+    dev_batch = shard_batch(mesh, imgs)
+    # the placed batch is genuinely split over the data axis
+    assert len(dev_batch.sharding.device_set) == 8
+    shard_rows = {s.data.shape[0] for s in dev_batch.addressable_shards}
+    assert shard_rows == {16 // 8}
+    out = enc(dev_batch)
+    assert len(out.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(out), single, atol=2e-5, rtol=2e-5)
+    rules = data_parallel_sharding(mesh)
+    assert rules["batch"].spec == P("data")
