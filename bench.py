@@ -50,44 +50,21 @@ _SPREAD_REPS = 3
 
 def _timed_throughput(fn, fetch, units_per_iter: int,
                       n_small: int = 2, n_large: int = 8) -> float:
-    """units/sec over (n_large − n_small) chained iterations (overhead-cancelled).
+    """units/sec over (n_large − n_small) chained iterations — the shared
+    hiccup-guarded differenced timer (patent_tpu/utils/timing.py; one
+    implementation for bench.py and every tools/ microbench)."""
+    from patent_tpu.utils.timing import timed_throughput
 
-    A tunnel hiccup can inflate the small run past the large one, making the
-    difference nonpositive (observed: one rep returned 6e12 img/s under a
-    ``max(dt, 1e-9)`` guard).  Such samples are nonphysical: re-measure the
-    small run (keeping the min — the least-hiccup estimate of the constant
-    overhead) up to 3×, and if the difference still isn't a meaningful
-    fraction of the large run, fall back to the undifferenced rate, which
-    is conservative (dispatch/fetch overhead included)."""
-
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        fetch(out)
-        return time.perf_counter() - t0
-
-    t_small = run(n_small)
-    t_large = run(n_large)
-    for _ in range(3):
-        dt = t_large - t_small
-        if dt > 0.05 * t_large:
-            return (n_large - n_small) * units_per_iter / dt
-        t_small = min(t_small, run(n_small))
-    dt = t_large - t_small            # the last re-measure counts too
-    if dt > 0.05 * t_large:
-        return (n_large - n_small) * units_per_iter / dt
-    return n_large * units_per_iter / t_large
+    return timed_throughput(fn, fetch, units_per_iter, n_small, n_large)
 
 
 def _timed_spread(fn, fetch, units_per_iter: int, n_small: int = 2,
                   n_large: int = 8, reps: int = _SPREAD_REPS
                   ) -> tuple[float, list[float]]:
     """(median, [min, max]) over ``reps`` repeated measurements."""
-    vals = sorted(_timed_throughput(fn, fetch, units_per_iter,
-                                    n_small, n_large) for _ in range(reps))
-    return vals[len(vals) // 2], [vals[0], vals[-1]]
+    from patent_tpu.utils.timing import timed_spread
+
+    return timed_spread(fn, fetch, units_per_iter, n_small, n_large, reps)
 
 
 def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:

@@ -87,13 +87,15 @@ class ClipBPETokenizer:
         with open(vocab_file, encoding="utf-8") as f:
             self.encoder: dict[str, int] = json.load(f)
         with open(merges_file, encoding="utf-8") as f:
-            lines = f.read().split("\n")
-        # first line is the "#version" header in both OpenAI and HF layouts;
-        # cap at 49152-256-2 entries — HF's CLIPTokenizer slices merges to
-        # [1:49152-256-2+1], so a merges.txt with trailing extra lines
-        # (nonstandard exports) must not shift the ranks
-        merges = [tuple(m.split()) for m in lines
-                  if m and not m.startswith("#version")][:49152 - 256 - 2]
+            lines = f.read().strip().split("\n")
+        # EXACTLY HF CLIPTokenizer's slice: strip, drop line 0
+        # unconditionally (the "#version" header slot), cap at
+        # 49152-256-2 entries.  Filtering instead of slicing diverges on
+        # nonstandard exports (a real merge on line 0, or blank lines
+        # mid-file, which HF keeps as rank slots) and would silently shift
+        # every BPE rank.
+        merges = [tuple(m.split())
+                  for m in lines[1:49152 - 256 - 2 + 1]]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.byte_encoder = _bytes_to_unicode()
         self.context_length = context_length

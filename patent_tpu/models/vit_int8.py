@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.quant_matmul import (quant_attention_block, quant_dense,
+                                required_seq_pad,
                                 quant_layer_block, quant_mlp_block,
                                 quantize_weight)
 from .vit import VIT_B16, VisionConfig
@@ -183,10 +184,7 @@ class Int8VisionTransformer(nn.Module):
         # group), so 197 tokens pad to 208 instead of 224 — 7% fewer rows
         # through every projection/MLP, 14% fewer score elements
         group = 4 if b % 4 == 0 else 0
-        quantum = 16 if group and (group * 16) % 32 == 0 else 32
-        seq_pad = -(-max(seq, quantum) // quantum) * quantum
-        if group and (group * seq_pad) % 32 != 0:
-            seq_pad = -(-seq_pad // 32) * 32
+        seq_pad = required_seq_pad(seq, group if group else 1)
         if seq_pad != seq:
             x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
         for i in range(cfg.num_layers):

@@ -390,7 +390,7 @@ def _fab_group_kernel(x_ref, wqkv_ref, bqkv_ref, wout_ref, bout_ref,
     output projection becomes ONE full-width [G·Sp, D]×[D, D] dot on the
     concatenated head outputs instead of the per-image kernel's 12
     K=64 partial-depth dots."""
-    g, sp, d3 = x_ref.shape[0], x_ref.shape[1], 3 * num_heads * head_dim
+    g, sp = x_ref.shape[0], x_ref.shape[1]
     d = num_heads * head_dim
     xa = x_ref[...].reshape(g * sp, d)
     qkv = (jax.lax.dot_general(

@@ -44,6 +44,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .flash_attention import SCORE_CLAMP_HI, SCORE_CLAMP_LO
+
 # Process-wide default for the kernels' ``fast`` flag (approx VPU reciprocal
 # in the dynamic-quant chain / gelu / softmax normalize).  Set
 # PATENT_TPU_FAST_KERNELS=0 to force the exact-division kernel variants
@@ -73,6 +75,23 @@ def _on_tpu() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def required_seq_pad(seq: int, group: int) -> int:
+    """Token-axis padding contract of the int8 attention kernel.
+
+    int8 sublane tiles are 32 rows per image; the grouped path flattens
+    ``group`` images into one [group·S, …] projection, so S itself only
+    needs %16 with group·S %32 (197 tokens pad to 208, not 224).  The ONE
+    source of truth — the model (models/vit_int8.py) pads with this and the
+    kernel wrapper validates with it, so the two can never desynchronize.
+    """
+    use_group = group > 1
+    quantum = 16 if use_group and (group * 16) % 32 == 0 else 32
+    sp = _round_up(max(seq, quantum), quantum)
+    if use_group and (group * sp) % 32 != 0:
+        sp = _round_up(sp, 32)
+    return sp
 
 
 def _round_up(x: int, m: int) -> int:
@@ -396,7 +415,7 @@ def _attn_sublayer_f32(x, lns, lnb, wqkv_ref, sqkv, bqkv, wout_ref, sout,
         # lower clamp: guards the 0/0 NaN when an (junk pad-query) row's
         # scores all sit below exp2's underflow — see
         # flash_attention._one_pass_softmax_pv
-        p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(jnp.bfloat16)
+        p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)).astype(jnp.bfloat16)
         o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
         den = o_ext[:, head_dim:head_dim + 1]
         heads.append(o_ext[:, :head_dim] * _recip(den) if fast
@@ -487,7 +506,7 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            p = jnp.exp2(jnp.clip(s, -100.0, 80.0)).astype(jnp.bfloat16)
+            p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)).astype(jnp.bfloat16)
             o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
             den = o_ext[:, head_dim:head_dim + 1]
             heads.append(o_ext[:, :head_dim] * _recip(den) if fast
@@ -598,15 +617,12 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
 
     use_group = group > 1 and b % group == 0
     if valid_len is None:
-        quantum = 16 if use_group and (group * 16) % 32 == 0 else 32
-        sp = _round_up(max(s, quantum), quantum)
-        if use_group and (group * sp) % 32 != 0:
-            sp = _round_up(sp, 32)
+        sp = required_seq_pad(s, group if use_group else 1)
         xp = jnp.pad(x, ((0, 0), (0, sp - s), (0, 0)))
         seq_len = s
     else:
         if use_group:
-            if s % 16 != 0 or (group * s) % 32 != 0:
+            if required_seq_pad(s, group) != s:
                 raise ValueError(
                     f"grouped pre-padded S={s} must be a multiple of 16 "
                     f"with group·S a multiple of 32")

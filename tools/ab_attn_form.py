@@ -28,30 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _timed(fn, fetch, n1=2, n2=8):
-    """Differenced timing with the hiccup guard from bench.py: a tunnel
-    stall can inflate the small run past the large one, and ``max(dt,
-    1e-9)`` turns that into an absurd rate (observed 6e12 img/s).  Re-take
-    the small run (keeping the min) and fall back to the conservative
-    undifferenced rate if the difference never becomes meaningful."""
-    def run(n):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(n):
-            out = fn()
-        fetch(out)
-        return time.perf_counter() - t0
+    """Shared hiccup-guarded differenced timing (utils/timing.py)."""
+    from patent_tpu.utils.timing import timed_seconds_per_iter
 
-    t_small, t_large = run(n1), run(n2)
-    for _ in range(3):
-        dt = t_large - t_small
-        if dt > 0.05 * t_large:
-            return dt / (n2 - n1)
-        t_small = min(t_small, run(n1))
-    dt = t_large - t_small
-    if dt > 0.05 * t_large:
-        return dt / (n2 - n1)
-    return t_large / n2
-
+    return timed_seconds_per_iter(fn, fetch, n1, n2)
 
 def main() -> None:
     import jax
