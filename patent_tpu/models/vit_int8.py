@@ -136,13 +136,19 @@ class Int8Block(nn.Module):
         if self.attn_group > 1:
             # quant_attention_block handles the ragged-batch fallback
             # internally (per-image kernel, re-padding a relaxed-16 stream
-            # to 32 as needed); quant_mlp_block accepts any S
+            # to 32 as needed); quant_mlp_block accepts any S.
+            # m_tile=512/split=4: four independent 128-row sub-chains per
+            # tile overlap gelu/quant (VPU) with the int8 dots (MXU) —
+            # measured −1.5 μs/img on the 12-layer grouped stack vs the
+            # m_tile=256 single chain (133.0 vs 134.5, reproduced in two
+            # same-process A/Bs: tools/ab_mlp_split.py, ab_attn_cost.py),
+            # bit-identical output
             x = quant_attention_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so,
                                       bo, self.num_heads,
                                       valid_len=valid_len,
                                       group=self.attn_group)
             return quant_mlp_block(x, ln2_s, ln2_b, w1, s1, b1,
-                                   w2, s2, b2)
+                                   w2, s2, b2, m_tile=512, split=4)
         return quant_layer_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so, bo,
                                  ln2_s, ln2_b, w1, s1, b1, w2, s2, b2,
                                  self.num_heads, valid_len=valid_len)

@@ -138,6 +138,13 @@ def _quant_rows_k(xf: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 _NEG_1702_LOG2E = float(-1.702 * np.log2(np.e))
 
+# NEGATIVE RESULT (do not retry): a ~9-op deg-2-poly + exponent-bitcast
+# exp2 for the softmax weights measured SLOWER than Mosaic's native exp2
+# lowering (66.9 vs 65.9 μs/img on the grouped attention stack), and the
+# probe="no_exp2" decomposition shows the exp2 pass costs ≈ 0 — Mosaic
+# already overlaps it with the score/pv MXU dots (tools/ab_attn_cost.py,
+# two same-process sessions).
+
 
 def _quick_gelu(g: jax.Array) -> jax.Array:
     """``g · sigmoid(1.702 g)`` written as ``g / (1 + exp2(−1.702·log2e·g))``.
@@ -459,7 +466,8 @@ def _qattn_block_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
 def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                         sqkv_ref, bqkv_ref, wout_ref, sout_ref, bout_ref,
                         o_ref, *, seq_len: int, num_heads: int,
-                        head_dim: int, group: int, fast: bool):
+                        head_dim: int, group: int, fast: bool,
+                        probe: str | None = None):
     """``group`` images per grid step: every int8 projection runs at
     M = group·Sp rows.  The MXU rounds M up to the next 128-row tile, so
     the per-image M=224 (ViT-B/16 @224, padded) wastes 32/256 of the
@@ -506,7 +514,15 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             s = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
-            p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)).astype(jnp.bfloat16)
+            # probe="no_exp2" (timing decomposition ONLY — output is NOT a
+            # softmax): skip the exp2 pass to expose its share of the
+            # kernel time.  tools/ab_attn_cost.py is the only prober;
+            # measured share ≈ 0 (exp2 rides the MXU shadow).
+            sc = jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)
+            if probe == "no_exp2":
+                p = sc.astype(jnp.bfloat16)
+            else:
+                p = jnp.exp2(sc).astype(jnp.bfloat16)
             o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
             den = o_ext[:, head_dim:head_dim + 1]
             heads.append(o_ext[:, :head_dim] * _recip(den) if fast
@@ -523,10 +539,10 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
                                              "head_dim", "out_dtype",
-                                             "group", "fast"))
+                                             "group", "fast", "probe"))
 def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
                       seq_len, num_heads, head_dim, out_dtype, group,
-                      fast=True):
+                      fast=True, probe=None):
     b, sp, d = x.shape
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -539,7 +555,7 @@ def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
     return pl.pallas_call(
         functools.partial(_qattn_group_kernel, seq_len=seq_len,
                           num_heads=num_heads, head_dim=head_dim,
-                          group=group, fast=fast),
+                          group=group, fast=fast, probe=probe),
         grid=(b // group,),
         in_specs=[xspec, const(lns.shape), const(lnb.shape),
                   const((d, d)), const((d, d)), const((d, d)),
@@ -567,7 +583,8 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                           valid_len: int | None = None,
                           force: bool = False,
                           fast: bool | None = None,
-                          group: int = 1) -> jax.Array:
+                          group: int = 1,
+                          _probe: str | None = None) -> jax.Array:
     """Fused ``x + out_proj(MHA(qkv_proj(LayerNorm(x))))`` — the whole
     pre-LN attention sub-layer (residual included) as one Pallas kernel with
     int8 projections.
@@ -650,7 +667,7 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
             bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
             head_dim, jnp.dtype(x.dtype).name)
     if use_group:
-        out = _qattn_group_impl(*args, group, _fast(fast))
+        out = _qattn_group_impl(*args, group, _fast(fast), _probe)
     else:
         out = _qattn_block_impl(*args, _fast(fast))
     if valid_len is not None:
@@ -673,17 +690,33 @@ def _mlp_sublayer_f32(x, lns, lnb, w1_ref, s1, b1, w2_ref, s2, b2,
 
 
 def _qmlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
-                       w2_ref, s2_ref, b2_ref, o_ref, *, fast):
+                       w2_ref, s2_ref, b2_ref, o_ref, *, fast, split=1):
     x = x_ref[...].astype(jnp.float32)
-    out = _mlp_sublayer_f32(x, lns_ref[...], lnb_ref[...], w1_ref,
-                            s1_ref[...], b1_ref[...], w2_ref, s2_ref[...],
-                            b2_ref[...], fast=fast)
+    if split <= 1:
+        out = _mlp_sublayer_f32(x, lns_ref[...], lnb_ref[...], w1_ref,
+                                s1_ref[...], b1_ref[...], w2_ref,
+                                s2_ref[...], b2_ref[...], fast=fast)
+    else:
+        # Partition the M-tile into `split` row-independent sub-chains so
+        # Mosaic can overlap one half's gelu/quant (VPU) with the other
+        # half's int8 dots (MXU) — the single-chain dot1→gelu→quant→dot2
+        # dependency otherwise idles the MXU during every VPU stage.
+        # Bit-identical: LN, per-ROW dynamic quant, gelu and both matmuls
+        # are all row-independent.
+        mt = x.shape[0] // split
+        out = jnp.concatenate(
+            [_mlp_sublayer_f32(x[i * mt:(i + 1) * mt], lns_ref[...],
+                               lnb_ref[...], w1_ref, s1_ref[...],
+                               b1_ref[...], w2_ref, s2_ref[...],
+                               b2_ref[...], fast=fast)
+             for i in range(split)], axis=0)
     o_ref[...] = (x + out).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("m_tile", "out_dtype", "fast"))
+@functools.partial(jax.jit, static_argnames=("m_tile", "out_dtype", "fast",
+                                             "split"))
 def _qmlp_block_2d(x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile, out_dtype,
-                   fast=True):
+                   fast=True, split=1):
     m, k = x.shape
     h = w1.shape[1]
 
@@ -692,7 +725,7 @@ def _qmlp_block_2d(x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile, out_dtype,
                             memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_qmlp_block_kernel, fast=fast),
+        functools.partial(_qmlp_block_kernel, fast=fast, split=split),
         grid=(m // m_tile,),
         in_specs=[
             pl.BlockSpec((m_tile, k), lambda i: (i, 0),
@@ -716,10 +749,15 @@ def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                     w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
                     w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
                     m_tile: int = 256, force: bool = False,
-                    fast: bool | None = None) -> jax.Array:
+                    fast: bool | None = None, split: int = 1) -> jax.Array:
     """Fused ``x + mlp(LayerNorm(x))`` (dense→quick_gelu→dense, residual
     included) as one Pallas kernel with int8 matmuls; the [M, mlp_dim]
-    hidden lives only in VMEM."""
+    hidden lives only in VMEM.
+
+    ``split``: partition each M-tile into that many row-independent
+    sub-chains inside the kernel (VPU/MXU overlap — see
+    _qmlp_block_kernel); bit-identical output for any value.
+    """
     *lead, k = x.shape
     if not (_HAS_PALLAS and (_on_tpu() or force)):
         h = _layernorm_f32(x.astype(jnp.float32), ln_scale, ln_bias)
@@ -735,7 +773,7 @@ def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         ln_bias.reshape(1, -1).astype(jnp.float32), w1_i8,
         s1.astype(jnp.float32), b1.astype(jnp.float32), w2_i8,
         s2.astype(jnp.float32), b2.astype(jnp.float32), m_tile,
-        jnp.dtype(x.dtype).name, _fast(fast))
+        jnp.dtype(x.dtype).name, _fast(fast), split)
     return out[:m].reshape(*lead, k)
 
 

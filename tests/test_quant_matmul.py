@@ -187,6 +187,27 @@ def test_quant_mlp_block_kernel_matches_fallback(rng):
     assert np.max(np.abs(fastv - np.asarray(want))) / denom < 5e-2
 
 
+def test_quant_mlp_block_split_is_bit_identical(rng):
+    """``split`` partitions each M-tile into row-independent sub-chains
+    (VPU/MXU overlap — the production int8 tower runs m_tile=512/split=4);
+    every stage (LN, per-row quant, gelu, both matmuls) is row-independent,
+    so the output must be IDENTICAL to the single-chain kernel."""
+    d = 128
+    x = jnp.asarray(rng.standard_normal((3, 40, d)) * 0.3, jnp.float32)
+    lns = jnp.asarray(1.0 + 0.1 * rng.standard_normal(d), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    w1, s1, b1 = _mk_weights(rng, d, 256)
+    w2, s2, b2 = _mk_weights(rng, 256, d)
+    for fast in (False, True):
+        base = np.asarray(qm.quant_mlp_block(
+            x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile=64, force=True,
+            fast=fast))
+        split = np.asarray(qm.quant_mlp_block(
+            x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile=64, force=True,
+            fast=fast, split=2))
+        np.testing.assert_array_equal(split, base)
+
+
 def test_quant_attention_block_grouped_matches_per_image(rng):
     """group=G processes G images per grid step with M=G·S projections —
     results must match the per-image kernel (identical math, same
