@@ -12,14 +12,15 @@ MXU executes int8 at twice the bf16 rate — with
 
 At the plain-XLA level the int8 MXU win is unreachable (dynamic-quant and
 dequant passes round-trip activations through HBM and measure no faster
-than bf16); the Pallas fusion is what delivers it — measured **6,969 vs
-~3,000 img/s (2.3×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
+than bf16); the Pallas fusion is what delivers it — measured **7,270 vs
+~3,650 img/s (2.0×)** on ViT-B/16 @224/batch-128 on v5e, with min feature
 cosine ≥0.999 vs the bf16 tower on drawing-like inputs (softmax-pass
 elimination in ``quant_matmul._attn_sublayer_f32`` accounts for the step
 past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — past
 5.6k; 4-image grouped attention — full 128-row MXU tiles,
 ``_qattn_group_kernel`` — past 6.1k; S padded to 208 instead of 224 under
-grouping past 6.5k).  Patch
+grouping past 6.5k; MLP m_tile=512/split=4 VPU/MXU-overlap sub-chains
+past 7.2k).  Patch
 embedding, layernorms, softmax, and the final projection stay in bf16/f32:
 they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;

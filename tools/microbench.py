@@ -138,8 +138,10 @@ def bench_mlp() -> dict:
     @jax.jit
     def stack(x):
         for _ in range(L):
+            # production config (models/vit_int8.py Int8Block grouped path)
             x = quant_mlp_block(x, w["lns"], w["lnb"], w["w1"], w["s1"],
-                                w["b1"], w["w2"], w["s2"], w["b2"])
+                                w["b1"], w["w2"], w["s2"], w["b2"],
+                                m_tile=512, split=4)
         return x
 
     float(sum_jit(stack(x)))
