@@ -114,7 +114,24 @@ def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:
     ips8, spread8 = _timed_spread(lambda: encode_many8(batches),
                                   lambda out: float(sum_jit(out)),
                                   scan_batches * batch_size)
+    # opt-in sparsity-aware serving: ink-mass token selection keeps the
+    # 127 darkest patches (+CLS = S=128, exact int8 tiles, zero pad rows);
+    # measured 11,800 vs 7,283 img/s with pruned↔full cosine ≥0.992 on
+    # drawings — quality deltas on a TRAINED tower are pinned in
+    # tests/test_finetune_lift.py::test_pruned_serving_quality
+    model8p = Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16,
+                                    keep_tokens=127)
+    encode_many8p = make_scan_encoder(model8p.apply, params8)
+    f8p = np.asarray(encode_many8p(batches), np.float32)  # compile + fetch
+    ips8p, spread8p = _timed_spread(lambda: encode_many8p(batches),
+                                    lambda out: float(sum_jit(out)),
+                                    scan_batches * batch_size)
+    a, b = f8[0], f8p[0]
+    pcos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                                * np.linalg.norm(b, axis=-1) + 1e-9)
     return {"int8": ips8, "int8_spread": spread8,
+            "int8_pruned128": ips8p, "int8_pruned128_spread": spread8p,
+            "pruned_vs_full_cosine_min": float(pcos.min()),
             "_ctx": {"model": model, "params": params, "batches": batches,
                      "f8": f8, "sum_jit": sum_jit}}
 
@@ -476,6 +493,14 @@ def main() -> None:
             "status": "headline done",
             "int8_embed_throughput": round(embed["int8"], 1),
             "int8_embed_spread": [round(v, 1) for v in embed["int8_spread"]],
+            # opt-in ink-mass token selection (--keep-tokens 127): the
+            # sparsity-aware serving mode; NOT the headline (the headline
+            # stays the exact tower)
+            "int8_pruned128_ips": round(embed["int8_pruned128"], 1),
+            "int8_pruned128_spread":
+                [round(v, 1) for v in embed["int8_pruned128_spread"]],
+            "pruned_vs_full_cosine_min":
+                round(embed["pruned_vs_full_cosine_min"], 5),
         })
 
     def run_embed_bf16():

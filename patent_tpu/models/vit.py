@@ -158,14 +158,58 @@ class TransformerBlock(nn.Module):
         return x + h
 
 
+def ink_topk_indices(pixel_values: jax.Array, patch_size: int,
+                     keep: int) -> jax.Array:
+    """[B, H, W, C] pixels → [B, keep] patch indices of the *darkest*
+    patches, sorted ascending (spatial order preserved).
+
+    Patent design figures are thin dark ink on white paper (DeepPatent;
+    see data/synthetic.synthetic_drawing_arrays), so a patch's summed
+    brightness ranks its information content: blank-paper patches are the
+    brightest.  The ranking is invariant to any per-channel positive
+    affine rescaling of the pixels for grayscale-consistent images
+    (R≈G≈B — true of patent drawings), so raw u8, /255, and
+    CLIP-normalized inputs all select the same patches.
+
+    Static shapes: one reshape-sum + ``top_k`` + ``sort`` — jit-friendly,
+    no data-dependent control flow.
+    """
+    b, h, w, c = pixel_values.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = pixel_values.astype(jnp.float32).reshape(
+        b, gh, patch_size, gw, patch_size, c)
+    brightness = x.sum(axis=(2, 4, 5)).reshape(b, gh * gw)       # [B, P]
+    _, idx = jax.lax.top_k(-brightness, keep)                    # darkest
+    return jnp.sort(idx, axis=-1)
+
+
+def _select_tokens(x: jax.Array, pos: jax.Array, cls_row: jax.Array,
+                   idx: jax.Array) -> jax.Array:
+    """Gather patch tokens + their position embeddings by ``idx`` and
+    prepend CLS (+ its position).  x: [B, P, D]; pos: [P+1, D] (row 0 is
+    CLS's); cls_row: [B, 1, D]; idx: [B, K] → [B, K+1, D]."""
+    gathered = jnp.take_along_axis(x, idx[..., None], axis=1)
+    gpos = jnp.take(pos, idx + 1, axis=0)                 # [B, K, D]
+    first = cls_row + pos[jnp.newaxis, :1]
+    return jnp.concatenate([first, gathered + gpos], axis=1)
+
+
 class VisionTransformer(nn.Module):
-    """CLIP vision tower → projected image features (get_image_features)."""
+    """CLIP vision tower → projected image features (get_image_features).
+
+    ``keep_tokens``: OPT-IN sparsity-aware serving mode — keep only the K
+    highest-ink patches (ink_topk_indices) plus CLS.  Adds no parameters,
+    so any trained checkpoint can be served pruned; quality vs the full
+    tower is measured in tests/test_token_pruning.py (views-corpus eval
+    battery) and the bench fidelity probe.  None = exact tower.
+    """
 
     config: VisionConfig = VIT_B16
     dtype: Any = jnp.float32
     remat: bool = False
     use_flash: bool = False   # fused Pallas attention on TPU
     fused_block: bool = False  # whole attention sub-layer as one kernel
+    keep_tokens: int | None = None
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
@@ -185,11 +229,17 @@ class VisionTransformer(nn.Module):
         x = x.reshape(b, -1, cfg.hidden_dim)                      # [B, P, D]
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
                          (cfg.hidden_dim,))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_dim)
-                                              ).astype(self.dtype), x], axis=1)
+        cls_row = jnp.broadcast_to(cls, (b, 1, cfg.hidden_dim)
+                                   ).astype(self.dtype)
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
-        x = x + pos.astype(self.dtype)
+        if self.keep_tokens is not None and self.keep_tokens < cfg.num_patches:
+            idx = ink_topk_indices(pixel_values, cfg.patch_size,
+                                   self.keep_tokens)
+            x = _select_tokens(x, pos.astype(self.dtype), cls_row, idx)
+        else:
+            x = jnp.concatenate([cls_row, x], axis=1)
+            x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x)
 
         block = TransformerBlock

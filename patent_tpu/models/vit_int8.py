@@ -157,13 +157,21 @@ class Int8Block(nn.Module):
 
 class Int8VisionTransformer(nn.Module):
     """Int8 serving twin of ``VisionTransformer`` (same pytree leaf names for
-    the non-quantized pieces, so ``quantize_vit_params`` is a pure re-pack)."""
+    the non-quantized pieces, so ``quantize_vit_params`` is a pure re-pack).
+
+    ``keep_tokens``: opt-in ink-mass token selection (models/vit.py
+    ``ink_topk_indices``) — e.g. keep_tokens=127 serves S=128 tokens, an
+    exact int8-tile stream with ZERO pad rows.  Quality is measured, not
+    assumed: tests/test_token_pruning.py."""
 
     config: VisionConfig = VIT_B16
     dtype: Any = jnp.bfloat16
+    keep_tokens: int | None = None
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
+        from .vit import _select_tokens, ink_topk_indices
+
         cfg = self.config
         x = pixel_values.astype(self.dtype)
         x = nn.Conv(cfg.hidden_dim, (cfg.patch_size, cfg.patch_size),
@@ -173,11 +181,17 @@ class Int8VisionTransformer(nn.Module):
         x = x.reshape(b, -1, cfg.hidden_dim)
         cls = self.param("class_embedding", nn.initializers.normal(0.02),
                          (cfg.hidden_dim,))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.hidden_dim)
-                                              ).astype(self.dtype), x], axis=1)
+        cls_row = jnp.broadcast_to(cls, (b, 1, cfg.hidden_dim)
+                                   ).astype(self.dtype)
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
-        x = x + pos.astype(self.dtype)
+        if self.keep_tokens is not None and self.keep_tokens < cfg.num_patches:
+            idx = ink_topk_indices(pixel_values, cfg.patch_size,
+                                   self.keep_tokens)
+            x = _select_tokens(x, pos.astype(self.dtype), cls_row, idx)
+        else:
+            x = jnp.concatenate([cls_row, x], axis=1)
+            x = x + pos.astype(self.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
         # pad the token axis ONCE for the whole stack (int8 sublane tile =
         # 32); each block masks pad keys via valid_len, and the CLS row

@@ -13,12 +13,16 @@ import json
 import os
 
 
-def index_prefix(path: str, gallery_dir: str, quantize: bool) -> str:
+def index_prefix(path: str, gallery_dir: str, quantize: bool,
+                 keep_tokens: int | None = None) -> str:
     """Precision-tagged on-disk index prefix: an int8 serving run must never
-    silently load a bf16-encoded gallery (the reference evaluates exactly
-    the tower it serves, retrieval.ipynb cell 3).  The single source of
-    truth for every CLI entry point that reads or writes an index."""
+    silently load a bf16-encoded gallery, nor a token-pruned run a
+    full-tower one (the reference evaluates exactly the tower it serves,
+    retrieval.ipynb cell 3).  The single source of truth for every CLI
+    entry point that reads or writes an index."""
     tag = "_int8" if quantize else ""
+    if keep_tokens:
+        tag += f"_kt{keep_tokens}"
     return os.path.join(path, "embeddings",
                         f"index_{os.path.basename(gallery_dir)}{tag}")
 
@@ -36,10 +40,19 @@ def _build_encoder(args, image_size: int):
         config = VisionConfig(image_size=image_size, patch_size=8,
                               hidden_dim=64, num_layers=2, num_heads=4,
                               mlp_dim=128, projection_dim=64)
+    # opt-in ink-mass token selection (models/vit.py ink_topk_indices):
+    # patent drawings are mostly blank paper, so serving only the K
+    # darkest patches (+CLS) trades measured quality for throughput —
+    # keep_tokens=127 (S=128, exact int8 tiles, zero pad rows) measures
+    # 11,800 vs 7,283 img/s int8 on v5e, pruned-vs-full feature cosine
+    # ≥0.992 on drawing-like inputs; views-corpus battery deltas are
+    # pinned in tests/test_finetune_lift.py::test_pruned_serving_quality
+    keep = getattr(args, "keep_tokens", None)
     # fused_block: whole attention sub-layer as one Pallas kernel — +11%
     # in-model over plain XLA on v5e (3,382 vs 3,051 img/s, cos 0.99999);
     # inference-only (no VJP), which is exactly this serving path
-    model = VisionTransformer(config, dtype=jnp.bfloat16, fused_block=True)
+    model = VisionTransformer(config, dtype=jnp.bfloat16, fused_block=True,
+                              keep_tokens=keep)
     finetuned = os.path.join(args.path, "models", "clip_finetune_best")
     if args.checkpoint and os.path.isdir(args.checkpoint):
         params = {"params": load_hf_clip_params(args.checkpoint, config)}
@@ -65,9 +78,13 @@ def _build_encoder(args, image_size: int):
         # measured 5,797 vs 3,048 img/s on v5e, min feature cosine 0.9997
         from ..models.vit_int8 import Int8VisionTransformer, quantize_vit_params
 
-        model = Int8VisionTransformer(config, dtype=jnp.bfloat16)
+        model = Int8VisionTransformer(config, dtype=jnp.bfloat16,
+                                      keep_tokens=keep)
         params = {"params": quantize_vit_params(params["params"])}
         print("serving int8-quantized encoder")
+    if keep:
+        print(f"ink-mass token selection: serving {keep} of "
+              f"{config.num_patches} patches per image")
     # device-side normalization: the engine feeds raw uint8 batches
     # (input_dtype="u8" below) — 4× less host→device transfer, and XLA
     # fuses the normalize into the patch-embed conv (measured: the
@@ -168,7 +185,8 @@ def run_retrieval_action(action: str, args) -> int:
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
                              num_workers=4, input_dtype="u8")
     prefix = index_prefix(args.path, gallery_dir,
-                          getattr(args, "quantize", False))
+                          getattr(args, "quantize", False),
+                          getattr(args, "keep_tokens", None))
 
     if action == "encode":
         index = engine.encode_dataset(gallery_dir, save_prefix=prefix)

@@ -23,7 +23,9 @@ def test_bench_json_schema(monkeypatch, capsys):
     bench = load_bench()
     monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
     monkeypatch.setattr(bench, "bench_embed_int8", lambda *a, **k: {
-        "int8": 3000.0, "int8_spread": [2990.0, 3010.0], "_ctx": {}})
+        "int8": 3000.0, "int8_spread": [2990.0, 3010.0],
+        "int8_pruned128": 4800.0, "int8_pruned128_spread": [4790.0, 4810.0],
+        "pruned_vs_full_cosine_min": 0.992, "_ctx": {}})
     monkeypatch.setattr(bench, "bench_embed_bf16", lambda *a, **k: {
         "bf16": 3000.0, "bf16_spread": [2990.0, 3010.0],
         "int8_cosine_min": 0.9997})
