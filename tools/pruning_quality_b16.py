@@ -11,6 +11,19 @@ same fine-tuned checkpoint served with --keep-tokens 127 in bf16, and
 serving config).  Prints one JSON line.
 
 Run on the tunneled v5e (one TPU client at a time; ~10 min incl. compiles).
+
+MEASURED (v5e, 2026-08-18, deterministic corpus/seeds):
+  init_full          MRR 0.4105  mAP 0.3095  R@10 0.500  R@20 0.750
+  ft_full (bf16)     MRR 0.4726  mAP 0.3918  R@10 0.641  R@20 0.813
+  ft_pruned127 bf16  MRR 0.4809  mAP 0.3983  R@10 0.656  R@20 0.859
+  ft_pruned127 int8  MRR 0.4537  mAP 0.3912  R@10 0.672  R@20 0.828
+  ft_full int8       MRR 0.4779  mAP 0.3975  R@10 0.641  R@20 0.797
+
+At B/16 scale, keeping 127 of 196 patches costs nothing measurable on
+this battery — the pruned tower lands within ±0.02-0.03 MRR of full in
+both precisions and slightly ABOVE it in bf16 (dropping blank-paper
+patches acts like denoising on line art).  The throughput side is
+11,818 vs 7,291 img/s int8 (bench extras int8_pruned128_ips).
 """
 from __future__ import annotations
 
