@@ -319,6 +319,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = ClipFinetuneConfig()
         if args.epochs:
             cfg.epochs = args.epochs
+        if getattr(args, "keep_tokens", None):
+            cfg.keep_tokens = args.keep_tokens
         apply_overrides(cfg, args.overrides)
 
         corpus_root = os.path.join(args.path, "synthetic_corpus")

@@ -94,7 +94,8 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
     # 68.6 ms/step (+14%) on the ViT-B/16 finetune step; CPU falls back to
     # the differentiable XLA path
     vit = VisionTransformer(vision_config, dtype=jnp.bfloat16,
-                            fused_block=True)
+                            fused_block=True,
+                            keep_tokens=cfg.keep_tokens)
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
     vit_params = clip_params if clip_params is not None else \

@@ -115,6 +115,14 @@ class ClipFinetuneConfig:
     # train.py:4292-4308; this host pipeline prefetches one batch ahead)
     seed: int = 42
     model_dir: str = "models/patent-wise"
+    # opt-in ink-mass token selection DURING fine-tuning (models/vit.py
+    # keep_tokens): differentiable (gather passes gradients; the top-k
+    # indices are data-dependent constants, like maxpool), same params as
+    # the full tower, ~1.6× faster steps at keep=127 on ViT-B/16.  The
+    # served tower's keep_tokens need not match — tools/pruning_quality_b16
+    # shows full↔pruned feature agreement — but training and serving
+    # pruned the same way is the consistent production setup.
+    keep_tokens: int | None = None
 
 
 @dataclasses.dataclass

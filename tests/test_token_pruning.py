@@ -74,6 +74,31 @@ def test_keep_all_tokens_is_the_exact_tower(rng):
                                   np.asarray(pruned.apply(params, imgs)))
 
 
+def test_pruned_tower_is_trainable(rng):
+    """keep_tokens is usable DURING fine-tuning (ClipFinetuneConfig
+    .keep_tokens): gradients flow through the gather; the top-k indices
+    are data-dependent constants (like maxpool).  Every trainable param
+    must receive a finite, not-all-zero gradient."""
+    imgs = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    model = VisionTransformer(VIT_TINY, keep_tokens=8)
+    params = jax.jit(model.init)(jax.random.key(0), imgs[:1])["params"]
+
+    def loss(p):
+        f = model.apply({"params": p}, imgs)
+        return jnp.sum(f * f)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves_with_path(g)
+    assert leaves
+    for path, leaf in leaves:
+        assert np.isfinite(np.asarray(leaf)).all(), path
+    nonzero = sum(float(np.abs(np.asarray(l)).sum()) > 0
+                  for _, l in leaves)
+    # everything except the never-gathered pos rows' slices participates;
+    # demand the vast majority of leaves carry signal
+    assert nonzero >= len(leaves) - 1
+
+
 def test_pruned_tower_runs_and_int8_matches_bf16(rng):
     """Pruned bf16 and pruned int8 towers agree (the int8 fidelity
     contract holds under pruning too) and produce finite features."""

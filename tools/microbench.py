@@ -165,12 +165,15 @@ def bench_finetune() -> dict:
                          .astype(np.uint8))
     nodes = jnp.asarray(rng.integers(0, 32, 32), jnp.int32)
     out = {}
-    for fused in (False, True):
+    for variant in ("xla", "fused", "fused_pruned127"):
+        vcfg = (ClipFinetuneConfig(batch_size=32, epochs=1, image_size=224,
+                                   keep_tokens=127)
+                if variant == "fused_pruned127" else cfg)
         (vit, head), params, opt, opt_state = init_finetune_state(
-            VIT_B16, cfg, vgae)
-        if not fused:   # init_finetune_state defaults to the fused tower
+            VIT_B16, vcfg, vgae)
+        if variant == "xla":  # init_finetune_state defaults to fused
             vit = VisionTransformer(VIT_B16, dtype=jnp.bfloat16)
-        step, _ = make_finetune_step(vit, head, opt, cfg)
+        step, _ = make_finetune_step(vit, head, opt, vcfg)
         # per-step forced timing: a ~65 ms step dwarfs the per-fetch
         # overhead, and forcing each step keeps the tunnel's async ack
         # behavior out of the clock (scan-chunked variants measured
@@ -185,8 +188,7 @@ def bench_finetune() -> dict:
             float(m["loss"])
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-        out[f"finetune_{'fused' if fused else 'xla'}_img_per_sec"] = \
-            round(64 / dt, 1)
+        out[f"finetune_{variant}_img_per_sec"] = round(64 / dt, 1)
     return out
 
 
