@@ -13,17 +13,27 @@ serving config).  Prints one JSON line.
 Run on the tunneled v5e (one TPU client at a time; ~10 min incl. compiles).
 
 MEASURED (v5e, 2026-08-18, deterministic corpus/seeds):
-  init_full          MRR 0.4105  mAP 0.3095  R@10 0.500  R@20 0.750
-  ft_full (bf16)     MRR 0.4726  mAP 0.3918  R@10 0.641  R@20 0.813
-  ft_pruned127 bf16  MRR 0.4809  mAP 0.3983  R@10 0.656  R@20 0.859
-  ft_pruned127 int8  MRR 0.4537  mAP 0.3912  R@10 0.672  R@20 0.828
-  ft_full int8       MRR 0.4779  mAP 0.3975  R@10 0.641  R@20 0.797
+  init_full            MRR 0.4105  mAP 0.3095  R@10 0.500  R@20 0.750
+  ft_full (bf16)       MRR 0.4726  mAP 0.3918  R@10 0.641  R@20 0.813
+  ft_pruned127 bf16    MRR 0.4809  mAP 0.3983  R@10 0.656  R@20 0.859
+  ft_pruned127 int8    MRR 0.4537  mAP 0.3912  R@10 0.672  R@20 0.828
+  ft_full int8         MRR 0.4779  mAP 0.3975  R@10 0.641  R@20 0.797
+  --- trained WITH keep_tokens=127 (ClipFinetuneConfig.keep_tokens) ---
+  pruned-trained bf16  MRR 0.5108  mAP 0.4564  R@10 0.859  R@20 0.969
+  pruned-trained int8  MRR 0.5118  mAP 0.4586  R@10 0.875  R@20 0.969
+  (pruned-training val loss converges to 2.82 vs 3.56 full)
 
-At B/16 scale, keeping 127 of 196 patches costs nothing measurable on
-this battery — the pruned tower lands within ±0.02-0.03 MRR of full in
-both precisions and slightly ABOVE it in bf16 (dropping blank-paper
-patches acts like denoising on line art).  The throughput side is
-11,818 vs 7,291 img/s int8 (bench extras int8_pruned128_ips).
+Two findings.  (1) SERVING pruned costs nothing measurable: the pruned
+tower lands within ±0.02-0.03 MRR of full in both precisions and
+slightly ABOVE it in bf16 — dropping blank-paper patches denoises line
+art.  (2) TRAINING pruned is outright better on this corpus in every
+metric (+0.04 MRR, +0.22 R@10 over the full pipeline) while running
+1.35× faster — attention over ink-only tokens is a cleaner contrastive
+signal.  Caveat for (2): synthetic views corpus + from-scratch tower;
+with pretrained CLIP weights on real DeepPatent the sign could differ —
+re-run this tool there before flipping the production default.  The
+throughput side is 11,818 vs 7,291 img/s int8 serving
+(bench extras int8_pruned128_ips) and 1,014 vs 753 img/s fine-tune.
 """
 from __future__ import annotations
 
@@ -123,6 +133,21 @@ def main() -> None:
         q8)
     out["ft_full_int8"] = battery(
         Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16), q8)
+
+    # the pruned-TRAINING arm (ClipFinetuneConfig.keep_tokens): train the
+    # tower pruned, serve it pruned — the consistent production setup
+    cfgp = ClipFinetuneConfig(epochs=10, batch_size=32, val_every=0,
+                              num_workers=4, lr_clip=2e-4, keep_tokens=127)
+    bestp, historyp = run_finetune(anchors, positives, node_idx, vgae,
+                                   VIT_B16, cfgp, image_size=SIZE)
+    out["pruned_train_val_loss_first_to_best"] = [
+        round(historyp["val_loss"][0], 3),
+        round(min(historyp["val_loss"]), 3)]
+    out["ft_trained_pruned_served_pruned"] = battery(
+        pruned, {"params": bestp["vit"]})
+    out["ft_trained_pruned_served_pruned_int8"] = battery(
+        Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16, keep_tokens=127),
+        {"params": quantize_vit_params(bestp["vit"])})
     print(json.dumps(out))
 
 
