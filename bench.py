@@ -75,8 +75,9 @@ def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:
     Runs FIRST and ALONE so the headline JSON lands after one tower's
     compile instead of two — the per-process remote-compile warmup is the
     dominant and most variable cost of the whole bench (1.5-9 min
-    observed).  Returns the int8 numbers plus the shared state
-    ``bench_embed_bf16`` needs (params, input batches, int8 features).
+    observed).  Returns the int8 numbers plus the shared state the
+    ``bench_embed_pruned`` / ``bench_embed_bf16`` sections need (params,
+    quantized params, input batches, int8 features).
 
     The throughput/fidelity inputs are patent-drawing-like line art
     (data/synthetic.synthetic_drawing_arrays) — near-binary strokes on
@@ -114,26 +115,39 @@ def bench_embed_int8(batch_size: int = 128, scan_batches: int = 8) -> dict:
     ips8, spread8 = _timed_spread(lambda: encode_many8(batches),
                                   lambda out: float(sum_jit(out)),
                                   scan_batches * batch_size)
-    # opt-in sparsity-aware serving: ink-mass token selection keeps the
-    # 127 darkest patches (+CLS = S=128, exact int8 tiles, zero pad rows);
-    # measured 11,800 vs 7,283 img/s with pruned↔full cosine ≥0.992 on
-    # drawings — quality deltas on a TRAINED tower are pinned in
-    # tests/test_finetune_lift.py::test_pruned_serving_quality
+    return {"int8": ips8, "int8_spread": spread8,
+            "_ctx": {"model": model, "params": params, "params8": params8,
+                     "batches": batches, "f8": f8, "sum_jit": sum_jit}}
+
+
+def bench_embed_pruned(ctx: dict) -> dict:
+    """Opt-in sparsity-aware serving (--keep-tokens 127): ink-mass token
+    selection keeps the 127 darkest patches (+CLS = S=128, exact int8
+    tiles, zero pad rows).  Runs as its OWN section after the headline —
+    it needs a second tower compile, which must never delay the headline
+    JSON.  Quality deltas on TRAINED towers are pinned in
+    tests/test_finetune_lift.py::test_pruned_serving_quality and
+    tools/pruning_quality_b16.py; here we record throughput and the
+    pruned↔full feature agreement on the same drawing batch."""
+    import jax.numpy as jnp
+
+    from patent_tpu.models.vit import VIT_B16
+    from patent_tpu.models.vit_int8 import Int8VisionTransformer
+    from patent_tpu.retrieval.engine import make_scan_encoder
+
     model8p = Int8VisionTransformer(VIT_B16, dtype=jnp.bfloat16,
                                     keep_tokens=127)
-    encode_many8p = make_scan_encoder(model8p.apply, params8)
+    encode_many8p = make_scan_encoder(model8p.apply, ctx["params8"])
+    batches, sum_jit = ctx["batches"], ctx["sum_jit"]
     f8p = np.asarray(encode_many8p(batches), np.float32)  # compile + fetch
     ips8p, spread8p = _timed_spread(lambda: encode_many8p(batches),
                                     lambda out: float(sum_jit(out)),
-                                    scan_batches * batch_size)
-    a, b = f8[0], f8p[0]
+                                    batches.shape[0] * batches.shape[1])
+    a, b = ctx["f8"][0], f8p[0]
     pcos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                 * np.linalg.norm(b, axis=-1) + 1e-9)
-    return {"int8": ips8, "int8_spread": spread8,
-            "int8_pruned128": ips8p, "int8_pruned128_spread": spread8p,
-            "pruned_vs_full_cosine_min": float(pcos.min()),
-            "_ctx": {"model": model, "params": params, "batches": batches,
-                     "f8": f8, "sum_jit": sum_jit}}
+    return {"int8_pruned128": ips8p, "int8_pruned128_spread": spread8p,
+            "pruned_vs_full_cosine_min": float(pcos.min())}
 
 
 def bench_embed_bf16(ctx: dict) -> dict:
@@ -493,9 +507,13 @@ def main() -> None:
             "status": "headline done",
             "int8_embed_throughput": round(embed["int8"], 1),
             "int8_embed_spread": [round(v, 1) for v in embed["int8_spread"]],
-            # opt-in ink-mass token selection (--keep-tokens 127): the
-            # sparsity-aware serving mode; NOT the headline (the headline
-            # stays the exact tower)
+        })
+
+    def run_embed_pruned():
+        # the sparsity-aware serving mode; NOT the headline (the headline
+        # stays the exact tower)
+        embed = bench_embed_pruned(embed_ctx)
+        result["extras"].update({
             "int8_pruned128_ips": round(embed["int8_pruned128"], 1),
             "int8_pruned128_spread":
                 [round(v, 1) for v in embed["int8_pruned128_spread"]],
@@ -553,6 +571,8 @@ def main() -> None:
     # the expensive sections so a contended embed run (observed 462 s vs
     # ~320 s clean) can't push it past the deadline
     section("recall_parity", est_cost_s=30, fn=run_parity)
+    emit()
+    section("embed_pruned", est_cost_s=60, fn=run_embed_pruned)
     emit()
     section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
     emit()

@@ -139,11 +139,13 @@ class Int8Block(nn.Module):
             # internally (per-image kernel, re-padding a relaxed-16 stream
             # to 32 as needed); quant_mlp_block accepts any S.
             # m_tile=512/split=4: four independent 128-row sub-chains per
-            # tile overlap gelu/quant (VPU) with the int8 dots (MXU) —
-            # measured −1.5 μs/img on the 12-layer grouped stack vs the
-            # m_tile=256 single chain (133.0 vs 134.5, reproduced in two
-            # same-process A/Bs: tools/ab_mlp_split.py, ab_attn_cost.py),
-            # bit-identical output
+            # tile give Mosaic freedom to overlap gelu/quant (VPU) with
+            # the int8 dots (MXU).  HONEST STATUS: across four
+            # same-process A/B sessions the delta vs the m_tile=256
+            # single chain is +1.5/+1.1/+1.4/−1.4 μs/img — within the
+            # tunnel's noise floor, NOT a proven win (tools/ab_mlp_split,
+            # ab_attn_cost).  Kept because the output is bit-identical
+            # and it is never worse than noise
             x = quant_attention_block(x, ln1_s, ln1_b, wq, sq, bq, wo, so,
                                       bo, self.num_heads,
                                       valid_len=valid_len,

@@ -756,8 +756,10 @@ def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
 
     ``split``: partition each M-tile into that many row-independent
     sub-chains inside the kernel (VPU/MXU overlap — see
-    _qmlp_block_kernel); bit-identical output for any value.
+    _qmlp_block_kernel); must divide ``m_tile``; bit-identical output.
     """
+    if m_tile % split:
+        raise ValueError(f"split={split} must divide m_tile={m_tile}")
     *lead, k = x.shape
     if not (_HAS_PALLAS and (_on_tpu() or force)):
         h = _layernorm_f32(x.astype(jnp.float32), ln_scale, ln_bias)

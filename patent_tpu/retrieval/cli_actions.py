@@ -45,9 +45,21 @@ def _build_encoder(args, image_size: int):
     # darkest patches (+CLS) trades measured quality for throughput —
     # keep_tokens=127 (S=128, exact int8 tiles, zero pad rows) measures
     # 11,800 vs 7,283 img/s int8 on v5e, pruned-vs-full feature cosine
-    # ≥0.992 on drawing-like inputs; views-corpus battery deltas are
-    # pinned in tests/test_finetune_lift.py::test_pruned_serving_quality
+    # ≥0.991 on drawing-like inputs; views-corpus battery deltas are
+    # pinned in tests/test_finetune_lift.py::test_pruned_serving_quality.
+    # Normalized HERE (and written back to args) so the model, the
+    # _kt<K> index tag, and the log always agree: ≤0 is rejected, and
+    # keep ≥ num_patches — where the model serves the exact tower — maps
+    # to None so no pruned-tagged duplicate index is ever written.
     keep = getattr(args, "keep_tokens", None)
+    if keep is not None:
+        if keep <= 0:
+            raise ValueError(f"--keep-tokens must be positive, got {keep}")
+        if keep >= config.num_patches:
+            print(f"--keep-tokens {keep} >= {config.num_patches} patches: "
+                  f"serving the exact (unpruned) tower")
+            keep = None
+        args.keep_tokens = keep
     # fused_block: whole attention sub-layer as one Pallas kernel — +11%
     # in-model over plain XLA on v5e (3,382 vs 3,051 img/s, cos 0.99999);
     # inference-only (no VJP), which is exactly this serving path

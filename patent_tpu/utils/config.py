@@ -118,7 +118,8 @@ class ClipFinetuneConfig:
     # opt-in ink-mass token selection DURING fine-tuning (models/vit.py
     # keep_tokens): differentiable (gather passes gradients; the top-k
     # indices are data-dependent constants, like maxpool), same params as
-    # the full tower, ~1.6× faster steps at keep=127 on ViT-B/16.  The
+    # the full tower, 1.35× faster steps at keep=127 on ViT-B/16
+    # (1,014 vs 753 img/s fwd+bwd, tools/microbench.py finetune).  The
     # served tower's keep_tokens need not match — tools/pruning_quality_b16
     # shows full↔pruned feature agreement — but training and serving
     # pruned the same way is the consistent production setup.

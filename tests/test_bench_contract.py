@@ -23,9 +23,10 @@ def test_bench_json_schema(monkeypatch, capsys):
     bench = load_bench()
     monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
     monkeypatch.setattr(bench, "bench_embed_int8", lambda *a, **k: {
-        "int8": 3000.0, "int8_spread": [2990.0, 3010.0],
+        "int8": 3000.0, "int8_spread": [2990.0, 3010.0], "_ctx": {}})
+    monkeypatch.setattr(bench, "bench_embed_pruned", lambda *a, **k: {
         "int8_pruned128": 4800.0, "int8_pruned128_spread": [4790.0, 4810.0],
-        "pruned_vs_full_cosine_min": 0.992, "_ctx": {}})
+        "pruned_vs_full_cosine_min": 0.992})
     monkeypatch.setattr(bench, "bench_embed_bf16", lambda *a, **k: {
         "bf16": 3000.0, "bf16_spread": [2990.0, 3010.0],
         "int8_cosine_min": 0.9997})
@@ -50,6 +51,7 @@ def test_bench_json_schema(monkeypatch, capsys):
     ex = payload["extras"]
     assert ex["recall10_parity_vs_bruteforce"] == 1.0
     assert ex["int8_embed_spread"] == [2990.0, 3010.0]
+    assert ex["int8_pruned128_ips"] == 4800.0
     assert ex["hyp_train_epoch_wall_vs_device"] == 1.5
     assert ex["skipped"] == []
 

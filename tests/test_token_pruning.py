@@ -9,7 +9,10 @@ tower, full vs pruned battery) and the throughput/fidelity on real TPU in
 bench.py extras.
 """
 
+import argparse
+
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -72,6 +75,25 @@ def test_keep_all_tokens_is_the_exact_tower(rng):
     pruned = VisionTransformer(VIT_TINY, keep_tokens=VIT_TINY.num_patches)
     np.testing.assert_array_equal(np.asarray(full.apply(params, imgs)),
                                   np.asarray(pruned.apply(params, imgs)))
+
+
+def test_cli_keep_tokens_normalization():
+    """--keep-tokens ≤ 0 is rejected; keep ≥ num_patches normalizes to
+    None (exact tower) AND writes back to args, so the _kt<K> index tag,
+    the model, and the log can never disagree."""
+    from patent_tpu.retrieval.cli_actions import _build_encoder
+
+    def ns(keep):
+        return argparse.Namespace(keep_tokens=keep, checkpoint=None,
+                                  path="/nonexistent", quantize=False)
+
+    with pytest.raises(ValueError, match="positive"):
+        _build_encoder(ns(0), 32)
+    with pytest.raises(ValueError, match="positive"):
+        _build_encoder(ns(-3), 32)
+    args = ns(99)                      # 32px/8 config has 16 patches
+    _build_encoder(args, 32)
+    assert args.keep_tokens is None
 
 
 def test_pruned_tower_is_trainable(rng):

@@ -11,10 +11,12 @@ Two questions:
    poly + exponent-bitcast exp2 measured ~1 μs SLOWER (negative result
    recorded at quant_matmul._NEG_1702_LOG2E).
 
-2. Re-confirm the ab_mlp_split.py m512_s4 marginal (−1% was within the
-   tunnel wobble): full grouped layer stack with the MLP at
-   (m_tile=256, split=1) vs (512, 4), interleaved in the SAME process as
-   the attention probes, ×3 reps.
+2. Re-confirm the ab_mlp_split.py m512_s4 marginal: full grouped layer
+   stack with the MLP at (m_tile=256, split=1) vs (512, 4), interleaved
+   in the SAME process as the attention probes, ×3 reps (shared harness:
+   tools/_ab_common.py).  ANSWER across four sessions:
+   +1.5/+1.1/+1.4/−1.4 μs — within the tunnel noise floor, NOT a proven
+   win; shipped only because bit-identical and never worse than noise.
 
 Prints one JSON line of μs/img medians.
 """
@@ -23,18 +25,10 @@ from __future__ import annotations
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def _timed(fn, fetch, n1=2, n2=8):
-    """Shared hiccup-guarded differenced timing (utils/timing.py)."""
-    from patent_tpu.utils.timing import timed_seconds_per_iter
-
-    return timed_seconds_per_iter(fn, fetch, n1, n2)
+import _ab_common as C  # noqa: E402
 
 
 def main() -> None:
@@ -42,35 +36,20 @@ def main() -> None:
     import jax.numpy as jnp
 
     from patent_tpu.ops.quant_matmul import (quant_attention_block,
-                                             quant_mlp_block, quantize_weight)
+                                             quant_mlp_block)
     from patent_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    rng = np.random.default_rng(0)
-    B, D, NH, H = 128, 768, 12, 3072
-    SEQ, SP, G = 197, 208, 4
-    lns = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
-    lnb = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
-    wqkv, sqkv = quantize_weight(jnp.asarray(
-        rng.standard_normal((D, 3 * D)) * 0.05))
-    bqkv = jnp.asarray(rng.standard_normal(3 * D) * 0.02, jnp.float32)
-    wout, sout = quantize_weight(jnp.asarray(
-        rng.standard_normal((D, D)) * 0.05))
-    bout = jnp.asarray(rng.standard_normal(D) * 0.02, jnp.float32)
-    lns2 = jnp.asarray(rng.standard_normal(D) * 0.1 + 1.0, jnp.float32)
-    lnb2 = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
-    w1, s1 = quantize_weight(jnp.asarray(rng.standard_normal((D, H)) * 0.05))
-    b1 = jnp.asarray(rng.standard_normal(H) * 0.02, jnp.float32)
-    w2, s2 = quantize_weight(jnp.asarray(rng.standard_normal((H, D)) * 0.05))
-    b2 = jnp.asarray(rng.standard_normal(D) * 0.02, jnp.float32)
+    w = C.int8_layer_weights()
 
     def attn_stack(probe):
         @jax.jit
         def f(x):
             def body(h, _):
                 return quant_attention_block(
-                    h, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout, NH,
-                    valid_len=SEQ, group=G, _probe=probe), None
+                    h, w["lns"], w["lnb"], w["wqkv"], w["sqkv"], w["bqkv"],
+                    w["wout"], w["sout"], w["bout"], C.NH,
+                    valid_len=C.SEQ, group=C.G, _probe=probe), None
             h, _ = jax.lax.scan(body, x, None, length=12)
             return h
         return f
@@ -79,11 +58,14 @@ def main() -> None:
         @jax.jit
         def f(x):
             def body(h, _):
-                h = quant_attention_block(h, lns, lnb, wqkv, sqkv, bqkv,
-                                          wout, sout, bout, NH,
-                                          valid_len=SEQ, group=G)
-                return quant_mlp_block(h, lns2, lnb2, w1, s1, b1, w2, s2,
-                                       b2, m_tile=m_tile, split=split), None
+                h = quant_attention_block(h, w["lns"], w["lnb"], w["wqkv"],
+                                          w["sqkv"], w["bqkv"], w["wout"],
+                                          w["sout"], w["bout"], C.NH,
+                                          valid_len=C.SEQ, group=C.G)
+                return quant_mlp_block(h, w["lns2"], w["lnb2"], w["w1"],
+                                       w["s1"], w["b1"], w["w2"], w["s2"],
+                                       w["b2"], m_tile=m_tile,
+                                       split=split), None
             h, _ = jax.lax.scan(body, x, None, length=12)
             return h
         return f
@@ -92,23 +74,11 @@ def main() -> None:
              "attn_noexp2": attn_stack("no_exp2"),
              "stack_m256_s1": layer_stack(256, 1),
              "stack_m512_s4": layer_stack(512, 4)}
-    x = jnp.asarray(np.pad(rng.standard_normal((B, SEQ, D)) * 0.5,
-                           ((0, 0), (0, SP - SEQ), (0, 0))), jnp.bfloat16)
+    x = C.padded_stream()
     sum_jit = jax.jit(lambda y: jnp.sum(y.astype(jnp.float32)))
 
-    for name, fn in cases.items():
-        t0 = time.perf_counter()
-        float(sum_jit(fn(x)))
-        print(f"# compiled {name} in {time.perf_counter() - t0:.1f}s",
-              flush=True)
-
-    _timed(lambda: cases["attn_base"](x), lambda o: float(sum_jit(o)))
-    res: dict[str, list[float]] = {}
-    for _rep in range(3):
-        for name, fn in cases.items():
-            dt = _timed(lambda: fn(x), lambda o: float(sum_jit(o)))
-            res.setdefault(name, []).append(dt / B * 1e6)
-    med = {k: round(float(np.median(v)), 2) for k, v in res.items()}
+    C.compile_cases(cases, x, sum_jit)
+    med = C.measure_cases(cases, x, sum_jit)
     med["exp2_share_us"] = round(med["attn_base"] - med["attn_noexp2"], 2)
     med["mlp_split_delta_us"] = round(med["stack_m256_s1"]
                                       - med["stack_m512_s4"], 2)
