@@ -25,8 +25,10 @@ def test_bench_json_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_embed_int8", lambda *a, **k: {
         "int8": 3000.0, "int8_spread": [2990.0, 3010.0], "_ctx": {}})
     monkeypatch.setattr(bench, "bench_embed_pruned", lambda *a, **k: {
+        "int8_pruned176": 4000.0, "int8_pruned176_spread": [3990.0, 4010.0],
+        "pruned176_vs_full_cosine_min": 0.9992,
         "int8_pruned128": 4800.0, "int8_pruned128_spread": [4790.0, 4810.0],
-        "pruned_vs_full_cosine_min": 0.992})
+        "pruned128_vs_full_cosine_min": 0.992})
     monkeypatch.setattr(bench, "bench_embed_bf16", lambda *a, **k: {
         "bf16": 3000.0, "bf16_spread": [2990.0, 3010.0],
         "int8_cosine_min": 0.9997})
@@ -52,6 +54,7 @@ def test_bench_json_schema(monkeypatch, capsys):
     assert ex["recall10_parity_vs_bruteforce"] == 1.0
     assert ex["int8_embed_spread"] == [2990.0, 3010.0]
     assert ex["int8_pruned128_ips"] == 4800.0
+    assert ex["pruned176_vs_full_cosine_min"] == 0.9992
     assert ex["hyp_train_epoch_wall_vs_device"] == 1.5
     assert ex["skipped"] == []
 
