@@ -88,6 +88,27 @@ def test_retrieve_action_quantized(tmp_path, capsys):
     assert len([l for l in out.splitlines() if ".png" in l]) >= 3
 
 
+def test_retrieve_action_pruned_writes_tagged_index(tmp_path, capsys):
+    """--keep-tokens serves the ink-mass-pruned tower AND writes a
+    _kt<K>-tagged index: a pruned gallery must never be silently shared
+    with (or loaded by) a full-tower run."""
+    rc = run_cli(["retrieve", "--path", str(tmp_path), "--synthetic",
+                  "--keep-tokens", "6", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "token selection: serving 6 of" in out
+    emb = tmp_path / "embeddings"
+    tagged = [f for f in os.listdir(emb) if "_kt6" in f]
+    assert tagged, os.listdir(emb)
+    # a full-tower run on the same path builds its OWN untagged index
+    rc = run_cli(["retrieve", "--path", str(tmp_path), "--synthetic",
+                  "--k", "3"])
+    assert rc == 0
+    untagged = [f for f in os.listdir(emb)
+                if f.endswith(".npy") and "_kt" not in f]
+    assert untagged, os.listdir(emb)
+
+
 def test_eval_with_real_corpus_split(tmp_path):
     """--path with metadata.json + images/: the CLI splits with the
     reference protocol and evaluates."""
