@@ -66,24 +66,33 @@ def _run_pipeline(root: str) -> tuple[dict, dict]:
     assert main(["eval", "--path", root, "--synthetic", "--quantize",
                  "--model", "GE_int8"]) == 0
     int8 = _summary(root, "GE_int8")
-    return bf16, int8
+    # and under int8 + ink-mass token pruning at the production keep
+    # ratio (127/196 ≈ 65% → 41 of this corpus's 64 patches); the index
+    # is _kt-tagged so all three galleries coexist
+    assert main(["eval", "--path", root, "--synthetic", "--quantize",
+                 "--keep-tokens", "41", "--model", "GE_int8_kt41"]) == 0
+    pruned = _summary(root, "GE_int8_kt41")
+    return bf16, int8, pruned
 
 
 @pytest.fixture(scope="module")
 def pipeline_run(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("golden") / "run")
-    bf16, int8 = _run_pipeline(root)
-    return root, bf16, int8
+    bf16, int8, pruned = _run_pipeline(root)
+    return root, bf16, int8, pruned
 
 
 def test_pipeline_golden(pipeline_run):
-    _root, summary, int8_summary = pipeline_run
+    _root, summary, int8_summary, pruned_summary = pipeline_run
     assert summary["num_queries"] > 0
 
     if os.environ.get("GOLDEN_REGEN") == "1":
         blob = {"bf16": summary,
                 "int8_delta": {k: round(int8_summary[k] - summary[k], 6)
-                               for k in summary if k != "num_queries"}}
+                               for k in summary if k != "num_queries"},
+                "pruned_kt41_delta":
+                    {k: round(pruned_summary[k] - summary[k], 6)
+                     for k in summary if k != "num_queries"}}
         with open(GOLDEN_PATH, "w") as f:
             json.dump(blob, f, indent=2, sort_keys=True)
         pytest.skip(f"golden regenerated at {GOLDEN_PATH}")
@@ -116,7 +125,7 @@ def test_int8_eval_battery_matches_bf16(pipeline_run):
     quantized tower's metric battery must match the bf16 run within the
     committed tolerance (VERDICT r2: int8 quality was previously attested
     only by feature cosine on noise)."""
-    _root, bf16, int8 = pipeline_run
+    _root, bf16, int8, _pruned = pipeline_run
     assert int8["num_queries"] == bf16["num_queries"]
     for key in _RANKING_KEYS:
         assert int8[key] == pytest.approx(bf16[key], abs=0.05), \
@@ -130,13 +139,33 @@ def test_int8_eval_battery_matches_bf16(pipeline_run):
             f"int8 delta for {key} moved: {got} vs {golden_delta[key]}"
 
 
+def test_pruned_eval_battery_matches_bf16(pipeline_run):
+    """Cell-3 protocol applied to int8 + ink-mass pruning at the
+    production keep ratio (65% of patches): the pruned battery must stay
+    within tolerance of bf16 on the HARD near-duplicate corpus, and its
+    deltas are committed like int8's so pruning-quality drift is a test
+    failure, not a surprise."""
+    _root, bf16, _int8, pruned = pipeline_run
+    assert pruned["num_queries"] == bf16["num_queries"]
+    for key in _RANKING_KEYS:
+        assert pruned[key] == pytest.approx(bf16[key], abs=0.12), \
+            f"pruned {key}={pruned[key]} drifted from bf16 {bf16[key]}"
+
+    with open(GOLDEN_PATH) as f:
+        golden_delta = json.load(f)["pruned_kt41_delta"]
+    for key in _RANKING_KEYS:
+        got = pruned[key] - bf16[key]
+        assert got == pytest.approx(golden_delta[key], abs=2e-2), \
+            f"pruned delta for {key} moved: {got} vs {golden_delta[key]}"
+
+
 def test_golden_is_sensitive_to_embedding_noise(pipeline_run):
     """Proof the de-saturated golden detects quality drift: 1% relative
     noise injected into the gallery embeddings must measurably move ≥3
     ranking metrics (on the old all-1.0 corpus it moved none)."""
     from patent_tpu.cli.main import main
 
-    root, bf16, _int8 = pipeline_run
+    root, bf16, _int8, _pruned = pipeline_run
     emb_dir = os.path.join(root, "embeddings")
     prefix = [f[:-4] for f in os.listdir(emb_dir)
               if f.endswith(".npy") and "int8" not in f][0]
