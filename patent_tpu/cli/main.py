@@ -62,10 +62,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep-tokens", type=int, default=None,
                    dest="keep_tokens",
                    help="opt-in ink-mass token selection: serve only the K "
-                        "darkest patches per image (+CLS). 127 on ViT-B/16 "
-                        "= S=128 exact int8 tiles: 11,800 vs 7,283 img/s "
-                        "int8 on v5e; quality deltas measured in "
-                        "tests/test_finetune_lift.py")
+                        "darkest patches per image (+CLS). Measured dial on "
+                        "ViT-B/16 int8 (img/s @ min cosine vs full): 191 -> "
+                        "7,538 @ 0.99975; 175 -> 8,112 @ 0.99915; 127 -> "
+                        "11,821 @ 0.99131. Quality deltas pinned in "
+                        "tests/test_finetune_lift.py and the golden "
+                        "pipeline; B/16-scale table in "
+                        "tools/pruning_quality_b16.py")
     p.add_argument("--port", type=int, default=8777,
                    help="retrieval server port (serve action)")
     p.add_argument("overrides", nargs="*",
