@@ -600,7 +600,11 @@ def main() -> None:
     emit()
     section("poincare_200k", est_cost_s=45, fn=run_poincare)
 
-    result["extras"]["status"] = "complete"
+    # a section that raised recorded <name>_error and kept going — status
+    # must not claim a fully measured run in that case
+    errored = [k[:-6] for k in result["extras"] if k.endswith("_error")]
+    result["extras"]["status"] = ("complete" if not errored
+                                  else f"complete_with_errors:{errored}")
     result["extras"]["section_times"] = sections_run
     emit()
 

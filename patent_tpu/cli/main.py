@@ -322,7 +322,15 @@ def main(argv: list[str] | None = None) -> int:
         cfg = ClipFinetuneConfig()
         if args.epochs:
             cfg.epochs = args.epochs
-        if getattr(args, "keep_tokens", None):
+        if getattr(args, "keep_tokens", None) is not None:
+            # same validation contract as the serving path
+            # (retrieval/cli_actions._build_encoder): reject ≤0 loudly
+            # instead of crashing inside lax.top_k at model init;
+            # keep ≥ num_patches normalizes to the exact tower below once
+            # the vision config is known
+            if args.keep_tokens <= 0:
+                raise ValueError(
+                    f"--keep-tokens must be positive, got {args.keep_tokens}")
             cfg.keep_tokens = args.keep_tokens
         apply_overrides(cfg, args.overrides)
 
@@ -374,6 +382,10 @@ def main(argv: list[str] | None = None) -> int:
             vc = VisionConfig(image_size=image_size, patch_size=8,
                               hidden_dim=64, num_layers=2, num_heads=4,
                               mlp_dim=128, projection_dim=64)
+        if cfg.keep_tokens is not None and cfg.keep_tokens >= vc.num_patches:
+            print(f"--keep-tokens {cfg.keep_tokens} >= {vc.num_patches} "
+                  f"patches: training the exact (unpruned) tower")
+            cfg.keep_tokens = None
         ckpt = CheckpointManager(os.path.join(args.path, "models"))
         _best, history = run_finetune(anchors, positives, node_idx, vgae, vc,
                                       cfg, logger=logger, ckpt=ckpt,

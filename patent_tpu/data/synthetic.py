@@ -244,6 +244,7 @@ def write_synthetic_view_images(records: Sequence[FigureRecord], root: str,
 
     os.makedirs(root, exist_ok=True)
     bases: dict[str, np.ndarray] = {}
+    view_counter: dict[str, int] = {}
     paths = []
     for r in records:
         if r.patent_id not in bases:
@@ -251,7 +252,16 @@ def write_synthetic_view_images(records: Sequence[FigureRecord], root: str,
                     .integers(0, 2**31 - 1))
             bases[r.patent_id] = (
                 synthetic_drawing_arrays(1, image_size, seed=s)[0] * 255.0)
-        fidx = int(r.figure_id.split("-D")[1].split("_")[0]) - 1
+        # view index from the synthetic '-D<k>_' name pattern when present;
+        # generic records (real-corpus FigureRecords carry no view field)
+        # fall back to a per-patent counter so the function honors its
+        # Sequence[FigureRecord] signature instead of raising on foreign
+        # naming schemes
+        try:
+            fidx = int(r.figure_id.split("-D")[1].split("_")[0]) - 1
+        except (IndexError, ValueError):
+            fidx = view_counter.get(r.patent_id, 0)
+        view_counter[r.patent_id] = fidx + 1
         img = apply_view(bases[r.patent_id], fidx)
         frng = _entity_rng(seed, "fig", r.figure_id)
         c = frng.uniform(0.35, 1.0)

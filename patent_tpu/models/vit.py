@@ -194,6 +194,22 @@ def _select_tokens(x: jax.Array, pos: jax.Array, cls_row: jax.Array,
     return jnp.concatenate([first, gathered + gpos], axis=1)
 
 
+def assemble_token_stream(x: jax.Array, pixel_values: jax.Array, cfg,
+                          cls_row: jax.Array, pos: jax.Array,
+                          keep_tokens: int | None) -> jax.Array:
+    """CLS + positional embedding assembly shared by the bf16 and int8
+    towers — ONE copy so the pruning semantics (ink_topk_indices gate,
+    keep≥num_patches = exact tower, pos-row offsets) can never
+    desynchronize between the serving precisions.
+
+    x: [B, P, D] patch embeddings; pos: [P+1, D]; cls_row: [B, 1, D].
+    """
+    if keep_tokens is not None and keep_tokens < cfg.num_patches:
+        idx = ink_topk_indices(pixel_values, cfg.patch_size, keep_tokens)
+        return _select_tokens(x, pos, cls_row, idx)
+    return jnp.concatenate([cls_row, x], axis=1) + pos
+
+
 class VisionTransformer(nn.Module):
     """CLIP vision tower → projected image features (get_image_features).
 
@@ -233,13 +249,8 @@ class VisionTransformer(nn.Module):
                                    ).astype(self.dtype)
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
-        if self.keep_tokens is not None and self.keep_tokens < cfg.num_patches:
-            idx = ink_topk_indices(pixel_values, cfg.patch_size,
-                                   self.keep_tokens)
-            x = _select_tokens(x, pos.astype(self.dtype), cls_row, idx)
-        else:
-            x = jnp.concatenate([cls_row, x], axis=1)
-            x = x + pos.astype(self.dtype)
+        x = assemble_token_stream(x, pixel_values, cfg, cls_row,
+                                  pos.astype(self.dtype), self.keep_tokens)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x)
 
         block = TransformerBlock

@@ -172,7 +172,7 @@ class Int8VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jax.Array) -> jax.Array:
-        from .vit import _select_tokens, ink_topk_indices
+        from .vit import assemble_token_stream
 
         cfg = self.config
         x = pixel_values.astype(self.dtype)
@@ -187,13 +187,8 @@ class Int8VisionTransformer(nn.Module):
                                    ).astype(self.dtype)
         pos = self.param("position_embedding", nn.initializers.normal(0.01),
                          (cfg.num_patches + 1, cfg.hidden_dim))
-        if self.keep_tokens is not None and self.keep_tokens < cfg.num_patches:
-            idx = ink_topk_indices(pixel_values, cfg.patch_size,
-                                   self.keep_tokens)
-            x = _select_tokens(x, pos.astype(self.dtype), cls_row, idx)
-        else:
-            x = jnp.concatenate([cls_row, x], axis=1)
-            x = x + pos.astype(self.dtype)
+        x = assemble_token_stream(x, pixel_values, cfg, cls_row,
+                                  pos.astype(self.dtype), self.keep_tokens)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x).astype(self.dtype)
         # pad the token axis ONCE for the whole stack (int8 sublane tile =
         # 32); each block masks pad keys via valid_len, and the CLS row

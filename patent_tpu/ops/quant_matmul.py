@@ -55,11 +55,13 @@ from .flash_attention import SCORE_CLAMP_HI, SCORE_CLAMP_LO
 # fast=1 6,125 img/s (+9.4%, 15.3 µs/img — three exact divides per layer
 # become approximate-reciprocal multiplies); min drawing-input feature
 # cosine vs the bf16 tower stays 0.9998.
-_FAST_DEFAULT = os.environ.get("PATENT_TPU_FAST_KERNELS", "1") != "0"
-
-
 def _fast(flag: bool | None) -> bool:
-    return _FAST_DEFAULT if flag is None else flag
+    # read the env var at CALL time (trace time — negligible cost), not at
+    # import: the escape hatch must work when set after patent_tpu was
+    # first imported mid-debugging-session
+    if flag is None:
+        return os.environ.get("PATENT_TPU_FAST_KERNELS", "1") != "0"
+    return flag
 
 try:
     from jax.experimental import pallas as pl

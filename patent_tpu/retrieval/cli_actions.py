@@ -155,9 +155,11 @@ def _corpus(args, image_size: int):
     # hard=True: same-subclass patents are near-duplicates, so the eval
     # metrics land mid-range (like the reference's published cell-4 numbers)
     # instead of saturating at 1.0 — a golden pinned on this corpus can
-    # detect ranking-quality drift.  Query figures must come from the SAME
-    # subclass/patent bases as the gallery, so both splits are written with
-    # one records pass below (write order: gallery then query, one rng).
+    # detect ranking-quality drift.  Query/gallery consistency (query
+    # figures drawn from the SAME subclass/patent bases as the gallery)
+    # comes from per-entity seeding inside write_synthetic_images
+    # (_entity_rng keyed on subclass/patent/figure ids) — the two write
+    # calls are order-independent.
     synthetic.write_synthetic_images(g_recs, gallery, image_size=image_size,
                                      seed=0, hard=True)
     synthetic.write_synthetic_images(q_recs, query, image_size=image_size,

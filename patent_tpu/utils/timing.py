@@ -41,6 +41,14 @@ def timed_seconds_per_iter(fn, fetch, n_small: int = 2,
 
     t_small = run(n_small)
     t_large = run(n_large)
+    # a stall can also hit the LARGE run, inflating the differenced rate
+    # downward (a fake regression that the small-run guard below never
+    # sees).  Scaling t_small up by n_large/n_small bounds the expected
+    # t_large from above (the constant overhead does not scale); allow 3×
+    # slack before declaring a hiccup, and re-measure the large run once,
+    # keeping the min (the least-hiccup sample).
+    if t_small > 0 and t_large > 3.0 * (n_large / n_small) * t_small:
+        t_large = min(t_large, run(n_large))
     for _ in range(3):
         dt = t_large - t_small
         if dt > 0.05 * t_large:

@@ -141,3 +141,23 @@ def test_timed_throughput_hiccup_never_nonphysical():
     finally:
         bench.time.perf_counter = orig
     assert rate == pytest.approx(6 / 3.0)
+
+
+def test_timed_throughput_large_run_hiccup_retried():
+    """A stall during the LARGE run inflates the differenced rate DOWNWARD
+    (a fake regression the small-run guard never sees): t_large beyond 3×
+    the scaled t_small triggers one re-measure of the large run."""
+    from patent_tpu.utils import timing
+
+    times = iter([0.0, 0.2,        # t_small = 0.2 (clean)
+                  0.2, 6.2,        # t_large = 6.0 (hiccup: > 3·(8/2)·0.2)
+                  6.2, 7.0])       # retry large: 0.8 → dt = 0.6
+    orig = timing.time.perf_counter
+    timing.time.perf_counter = lambda: next(times)
+    try:
+        rate = timing.timed_throughput(lambda: None, lambda o: o,
+                                       units_per_iter=1, n_small=2,
+                                       n_large=8)
+    finally:
+        timing.time.perf_counter = orig
+    assert rate == pytest.approx(6 / 0.6)
