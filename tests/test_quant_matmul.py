@@ -187,6 +187,23 @@ def test_quant_mlp_block_kernel_matches_fallback(rng):
     assert np.max(np.abs(fastv - np.asarray(want))) / denom < 5e-2
 
 
+def test_required_seq_pad_contract():
+    """Property check over the token-axis padding contract: the result is
+    ≥ seq, idempotent, a multiple of 16 (grouped) or 32 (per-image), with
+    group·S always a multiple of 32 (the int8 sublane tile applies to the
+    FLATTENED group)."""
+    for group in (1, 2, 4, 8):
+        for seq in (1, 15, 16, 17, 31, 32, 50, 127, 128, 197, 208, 224):
+            sp = qm.required_seq_pad(seq, group)
+            assert sp >= seq
+            assert qm.required_seq_pad(sp, group) == sp, "not idempotent"
+            if group > 1:
+                assert sp % 16 == 0
+                assert (group * sp) % 32 == 0
+            else:
+                assert sp % 32 == 0
+
+
 def test_quant_mlp_block_split_is_bit_identical(rng):
     """``split`` partitions each M-tile into row-independent sub-chains
     (VPU/MXU overlap — the production int8 tower runs m_tile=512/split=4);
