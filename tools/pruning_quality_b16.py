@@ -23,17 +23,28 @@ MEASURED (v5e, 2026-08-18, deterministic corpus/seeds):
   pruned-trained int8  MRR 0.5118  mAP 0.4586  R@10 0.875  R@20 0.969
   (pruned-training val loss converges to 2.82 vs 3.56 full)
 
-Two findings.  (1) SERVING pruned costs nothing measurable: the pruned
-tower lands within ±0.02-0.03 MRR of full in both precisions and
-slightly ABOVE it in bf16 — dropping blank-paper patches denoises line
-art.  (2) TRAINING pruned is outright better on this corpus in every
-metric (+0.04 MRR, +0.22 R@10 over the full pipeline) while running
-1.35× faster — attention over ink-only tokens is a cleaner contrastive
-signal.  Caveat for (2): synthetic views corpus + from-scratch tower;
-with pretrained CLIP weights on real DeepPatent the sign could differ —
-re-run this tool there before flipping the production default.  The
-throughput side is 11,818 vs 7,291 img/s int8 serving
-(bench extras int8_pruned128_ips) and 1,014 vs 753 img/s fine-tune.
+REPLICATION (corpus_seed=1, `python tools/pruning_quality_b16.py 1`):
+  init_full            MRR 0.5417  mAP 0.3576  R@10 0.500  R@20 0.781
+  ft_full (bf16)       MRR 0.5167  mAP 0.4372  R@10 0.813  R@20 0.938
+  ft_pruned127 bf16    MRR 0.5033  mAP 0.4296  R@10 0.813  R@20 0.953
+  ft_pruned127 int8    MRR 0.5330  mAP 0.4451  R@10 0.813  R@20 0.953
+  pruned-trained bf16  MRR 0.6396  mAP 0.5422  R@10 0.969  R@20 1.000
+  pruned-trained int8  MRR 0.6552  mAP 0.5524  R@10 0.969  R@20 1.000
+  (pruned-training val loss 2.64 vs 3.44 full)
+
+Two findings, REPLICATED on two independent corpora.  (1) SERVING
+pruned costs nothing measurable: the pruned tower lands within
+±0.02-0.03 MRR of full in both precisions on both seeds.  (2) TRAINING
+pruned is outright better in every composite metric on both seeds
+(seed 0: +0.04 MRR, +0.22 R@10; seed 1: +0.12 MRR, +0.16 R@10 over the
+full pipeline) while running 1.35× faster, with val loss converging
+~0.7-0.8 lower — attention over ink-only tokens is a cleaner
+contrastive signal.  Caveat for (2): synthetic views corpora +
+from-scratch towers; with pretrained CLIP weights on real DeepPatent
+the sign could differ — re-run this tool there before flipping the
+production default.  The throughput side is 11,818 vs 7,291 img/s int8
+serving (bench extras int8_pruned128_ips) and 1,014 vs 753 img/s
+fine-tune.
 """
 from __future__ import annotations
 
@@ -50,6 +61,8 @@ SIZE = 224
 
 
 def main() -> None:
+    corpus_seed = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
     import jax
     import jax.numpy as jnp
 
@@ -72,14 +85,16 @@ def main() -> None:
     enable_compilation_cache()
     root = tempfile.mkdtemp(prefix="pq_b16_")
     records = records_from_metadata(
-        synthetic_metadata(num_patents=80, figures_per_patent=4, seed=0))
+        synthetic_metadata(num_patents=80, figures_per_patent=4,
+                           seed=corpus_seed))
     pids = sorted({r.patent_id for r in records})
     held_out = set(pids[-16:])
     train_recs = [r for r in records if r.patent_id not in held_out]
     test_recs = [r for r in records if r.patent_id in held_out]
 
     imgs = os.path.join(root, "images")
-    write_synthetic_view_images(records, imgs, image_size=SIZE, seed=0)
+    write_synthetic_view_images(records, imgs, image_size=SIZE,
+                                seed=corpus_seed)
     q_recs, g_recs = split_query_gallery(test_recs, seed=42)
     gallery, query = os.path.join(root, "gal"), os.path.join(root, "qry")
     os.makedirs(gallery)
