@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force the synthetic corpus")
     p.add_argument("--quantize", action="store_true",
                    help="serve the int8 PTQ encoder (fused Pallas kernels; "
-                        "1.89x bf16 on v5e at min feature cosine 0.9997)")
+                        "2.0x bf16 on v5e at min feature cosine 0.99978)")
     p.add_argument("--keep-tokens", type=int, default=None,
                    dest="keep_tokens",
                    help="opt-in ink-mass token selection: serve only the K "

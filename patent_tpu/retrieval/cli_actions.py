@@ -44,7 +44,7 @@ def _build_encoder(args, image_size: int):
     # patent drawings are mostly blank paper, so serving only the K
     # darkest patches (+CLS) trades measured quality for throughput —
     # keep_tokens=127 (S=128, exact int8 tiles, zero pad rows) measures
-    # 11,800 vs 7,283 img/s int8 on v5e, pruned-vs-full feature cosine
+    # 11,821 vs 7,284 img/s int8 on v5e (official bench), pruned-vs-full feature cosine
     # ≥0.991 on drawing-like inputs; views-corpus battery deltas are
     # pinned in tests/test_finetune_lift.py::test_pruned_serving_quality.
     # Normalized HERE (and written back to args) so the model, the
@@ -87,7 +87,8 @@ def _build_encoder(args, image_size: int):
     if getattr(args, "quantize", False):
         # int8 PTQ serving path: same params, quantized once at load time,
         # executed by the fused dynamic-quant kernels (ops/quant_matmul) —
-        # measured 5,797 vs 3,048 img/s on v5e, min feature cosine 0.9997
+        # measured 7,284 vs 3,645 img/s on v5e (official bench, 2.0x),
+        # min feature cosine 0.99978 on drawing-like inputs
         from ..models.vit_int8 import Int8VisionTransformer, quantize_vit_params
 
         model = Int8VisionTransformer(config, dtype=jnp.bfloat16,
