@@ -227,7 +227,8 @@ def bench_topk(n_gallery: int = 1_000_000, dim: int = 512,
 def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
                     n_queries: int = 256, k: int = 10
                     ) -> tuple[float, list[float], float]:
-    """Quantized-index search: int8 candidate stage (approx_max_k pool) +
+    """Quantized-index search: int8 candidate stage (fused Pallas
+    score+bucketed-top-2 kernel on TPU, approx_max_k scan off-TPU) +
     exact re-rank.  Returns (QPS, spread, recall@10 of the full quantized
     search vs the exact f32 device search on the same device-resident data —
     the f32 search itself is validated against numpy brute force by

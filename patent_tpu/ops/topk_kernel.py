@@ -1,0 +1,199 @@
+"""Fused int8 score + bucketed top-2 candidate kernel (Pallas, TPU).
+
+The quantized index's candidate stage (retrieval/index._topk_scores_int8)
+is HBM-bound, but not on the gallery: the XLA scan materializes the [Q, B]
+f32 score tile to HBM between the int8 matmul and ``approx_max_k`` every
+block — for a 1M×512 gallery and 256 queries that is ~2.1 GB of score
+write+read against only 0.5 GB of int8 gallery, plus the iota/mask
+materializations.  Measured: ~24.6k QPS where the gallery-read roofline
+allows ~400k.
+
+This kernel fuses scoring and reduction so HBM sees ONLY the gallery
+stream: per grid step it DMAs an [R, D] int8 gallery block, runs the int8
+MXU dot against the VMEM-resident queries, and folds the [Q, R] scores
+into per-bucket top-2 accumulators that live in the output VMEM blocks
+across the whole grid (constant index map — one copy-back at the end).
+Bucket of global column j is ``j mod L``; each bucket keeps its best and
+second-best (value, index) pair.
+
+Why top-2-of-L is enough for an EXACT pipeline: the caller over-fetches a
+``pool``-deep candidate set from the 2L bucket outputs and re-ranks it in
+f32 (topk_search_quantized).  A true top-k item can only be lost if TWO
+strictly better columns collide into its bucket across steps
+(≈ C(k−1, 2)/L² ≈ 3.6e-5 per item at k=10, L=1024 — vs 1e-2 for top-1
+bucketing), or if a better column lands in the same bucket AND the same
+grid step, where the intra-step fold keeps only the step winner
+(≈ (k−1)·(R/L − 1)/N ≈ 3e-5 at R/L=4, N=1M).  Both are far below the
+per-block 0.99 recall target the old ``approx_max_k`` path ran with.
+Membership is verified against exact brute force in tests/test_index.py
+and recall is re-measured against the exact f32 device search every bench
+run (``recall10_int8_vs_f32``).
+
+Per-query dequant scale is deliberately NOT applied in the kernel: it is
+constant per score row, and the bucket update only ever compares within a
+row, so ranking is invariant to it.  The wrapper multiplies the returned
+pool values by the query scale so callers see the same score scale as the
+XLA path (which remains the CPU fallback and correctness oracle).
+
+Replaces the serving hot loop of the reference's retrieval
+(`/root/reference/notebooks/retrieval.ipynb` cell 3: full Q×G cosine
+matrix on CPU + per-query argsort) at index scale.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
+                        i2_ref, *, buckets: int, rows: int):
+    """One grid step: score an [R, D] gallery block and fold it into the
+    per-bucket top-2 accumulators (the output refs, constant index map)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        v1_ref[...] = jnp.full(v1_ref.shape, -jnp.inf, v1_ref.dtype)
+        i1_ref[...] = jnp.zeros(i1_ref.shape, i1_ref.dtype)
+        v2_ref[...] = jnp.full(v2_ref.shape, -jnp.inf, v2_ref.dtype)
+        i2_ref[...] = jnp.zeros(i2_ref.shape, i2_ref.dtype)
+
+    acc = jax.lax.dot_general(
+        q_ref[...], gal_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [Q, R]
+    gsc = gsc_ref[...]                                        # [1, R]
+    # row (per-query) scale deferred to the wrapper: positive and constant
+    # per row, so it cannot change any within-row comparison below
+    s = jnp.where(gsc > 0.0, acc.astype(jnp.float32) * gsc, -jnp.inf)
+    base = step * rows
+    # intra-step fold: pairwise-reduce the R/L sub-tiles to ONE per-bucket
+    # step winner first (4 VPU passes per fold vs 12 per top-2 merge), then
+    # merge just the winner into the cross-step top-2 accumulators.  Loss
+    # cases this adds are negligible (see module docstring bound).
+    subs = []
+    for t in range(rows // buckets):
+        st = s[:, t * buckets:(t + 1) * buckets]              # [Q, L]
+        col = (base + t * buckets
+               + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1))
+        subs.append((st, col))
+    while len(subs) > 1:
+        nxt = []
+        for a in range(0, len(subs) - 1, 2):
+            v0, c0 = subs[a]
+            v1_, c1_ = subs[a + 1]
+            ge = v0 >= v1_                  # ties keep earlier col (c0<c1)
+            nxt.append((jnp.where(ge, v0, v1_), jnp.where(ge, c0, c1_)))
+        if len(subs) % 2:
+            nxt.append(subs[-1])
+        subs = nxt
+    st, col = subs[0]
+    v1, i1 = v1_ref[...], i1_ref[...]
+    v2, i2 = v2_ref[...], i2_ref[...]
+    gt1 = st > v1                           # strict: ties keep earlier col
+    gt2 = st > v2
+    v1_ref[...] = jnp.where(gt1, st, v1)
+    i1_ref[...] = jnp.where(gt1, col, i1)
+    # new score demotes the old best, or takes slot 2 outright
+    v2_ref[...] = jnp.where(gt1, v1, jnp.where(gt2, st, v2))
+    i2_ref[...] = jnp.where(gt1, i1, jnp.where(gt2, col, i2))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("buckets", "rows", "interpret"))
+def _bucket_topk_call(q_i8: jax.Array, gal_i8: jax.Array, gsc: jax.Array,
+                      buckets: int, rows: int, interpret: bool = False):
+    qp, dp = q_i8.shape
+    n_steps = gal_i8.shape[0] // rows
+    out = jax.ShapeDtypeStruct((qp, buckets), jnp.float32)
+    out_i = jax.ShapeDtypeStruct((qp, buckets), jnp.int32)
+    acc_spec = pl.BlockSpec((qp, buckets), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bucket_topk_kernel, buckets=buckets, rows=rows),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((qp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
+        out_shape=(out, out_i, out, out_i),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * dp * rows * n_steps,
+            bytes_accessed=(gal_i8.size + gsc.size * 4 + q_i8.size
+                            + 4 * qp * buckets * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(q_i8, gal_i8, gsc.reshape(1, -1))
+
+
+def bucket_topk_int8(q_i8: jax.Array, q_scale: jax.Array, gal_i8: jax.Array,
+                     gal_scale: jax.Array, pool: int, *,
+                     buckets: int = 1024, rows: int = 2048,
+                     interpret: bool = False
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Top-``pool`` int8-cosine candidates over the whole gallery, fused.
+
+    q_i8 [Q, D] int8, q_scale [Q, 1] f32, gal_i8 [N, D] int8,
+    gal_scale [N] f32 (strictly positive for valid rows — the zero padding
+    added here doubles as the invalid-row mask).  Returns (vals [Q, pool]
+    f32, idx [Q, pool] int32) best-first, values on the same
+    ``acc · q_scale · gal_scale`` scale as the XLA scan path.
+
+    Candidate-capacity contract: with ``rows == buckets`` (no intra-step
+    fold) every distinct column survives while N ≤ 2·buckets, so
+    ``pool ≤ min(N, 2·buckets)``; with ``rows > buckets`` the intra-step
+    fold keeps one winner per bucket per step, guaranteeing only
+    ``pool ≤ min(N, buckets)`` finite candidates.
+    """
+    n, d = gal_i8.shape
+    q = q_i8.shape[0]
+    capacity = min(n, 2 * buckets if rows == buckets else buckets)
+    if pool > capacity:
+        raise ValueError(f"pool={pool} exceeds candidate capacity "
+                         f"{capacity} (N={n}, buckets={buckets}, "
+                         f"rows={rows})")
+    if rows % buckets:
+        raise ValueError(f"rows={rows} must be a multiple of buckets={buckets}")
+    qp = _round_up(max(q, 32), 32)          # int8 sublane tile
+    dp = _round_up(d, 128)
+    np_rows = _round_up(n, rows)
+    if (qp, dp) != (q, d):
+        q_i8 = jnp.pad(q_i8, ((0, qp - q), (0, dp - d)))
+    if (np_rows, dp) != (n, d):
+        gal_i8 = jnp.pad(gal_i8, ((0, np_rows - n), (0, dp - d)))
+    gsc = jnp.pad(gal_scale, (0, np_rows - n))    # zeros mask padded rows
+    v1, i1, v2, i2 = _bucket_topk_call(q_i8, gal_i8, gsc, buckets, rows,
+                                       interpret)
+    vals2 = jnp.concatenate([v1, v2], axis=1)[:q]             # [Q, 2L]
+    idx2 = jnp.concatenate([i1, i2], axis=1)[:q]
+    vals2 = vals2 * q_scale                  # restore the XLA-path scale
+    vals, pos = jax.lax.top_k(vals2, pool)
+    return vals, jnp.take_along_axis(idx2, pos, axis=1)
+
+
+def bucket_topk_supported(n: int, pool: int, buckets: int = 1024,
+                          rows: int = 2048) -> bool:
+    """Whether the fused kernel's candidate capacity covers this request."""
+    cap = min(n, 2 * buckets if rows == buckets else buckets)
+    return _HAS_PALLAS and pool <= cap

@@ -22,6 +22,7 @@ Design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Literal
 
 import jax
@@ -30,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import poincare
+from ..ops.topk_kernel import bucket_topk_int8, bucket_topk_supported
 
 Similarity = Literal["cosine", "dot", "poincare"]
 
@@ -143,11 +145,64 @@ def quantize_gallery(embeddings: np.ndarray
     return q, scale.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+# fused candidate-stage tuning knobs (see ops/topk_kernel.py); env-settable
+# for on-chip A/B sweeps without an edit-reinstall loop
+_FUSED_BUCKETS = int(os.environ.get("PATENT_TPU_FUSED_TOPK_BUCKETS", "1024"))
+_FUSED_ROWS = int(os.environ.get("PATENT_TPU_FUSED_TOPK_ROWS", "2048"))
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _topk_scores_int8(queries: jax.Array, gal_i8: jax.Array,
                       gal_scale: jax.Array, k: int,
                       block_size: int) -> tuple[jax.Array, jax.Array]:
     """Candidate-stage cosine top-k over an int8 gallery.
+
+    Dispatches to the fused Pallas score+bucketed-top-2 kernel
+    (ops/topk_kernel.py) — HBM sees only the gallery stream; measured
+    72.3k QPS vs 22.7k for the scan at 1M×512/Q=256 (3.2×, pool
+    recall@10 1.0, tools/ab_topk_fused.py) — and falls back to the XLA scan path
+    (``_topk_scores_int8_scan``, the correctness oracle) off-TPU or when
+    the pool exceeds the kernel's 2·buckets candidate capacity.
+    ``PATENT_TPU_FUSED_TOPK=0`` forces the scan path everywhere (the A/B +
+    numerics escape hatch); ``=force`` runs the kernel in interpret mode
+    off-TPU (test coverage of the integrated dispatch).
+    """
+    mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
+    if (mode != "0"
+            and bucket_topk_supported(gal_i8.shape[0], k, _FUSED_BUCKETS,
+                                      _FUSED_ROWS)
+            and (_on_tpu() or mode == "force")):
+        return _topk_scores_int8_fused(queries, gal_i8, gal_scale, k,
+                                       interpret=not _on_tpu())
+    return _topk_scores_int8_scan(queries, gal_i8, gal_scale, k, block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _topk_scores_int8_fused(queries: jax.Array, gal_i8: jax.Array,
+                            gal_scale: jax.Array, k: int,
+                            interpret: bool = False
+                            ) -> tuple[jax.Array, jax.Array]:
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+    q_scale = jnp.maximum(jnp.max(jnp.abs(qn), axis=-1, keepdims=True),
+                          1e-8) / 127.0
+    q_i8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
+    return bucket_topk_int8(q_i8, q_scale, gal_i8, gal_scale, k,
+                            buckets=_FUSED_BUCKETS, rows=_FUSED_ROWS,
+                            interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_size"))
+def _topk_scores_int8_scan(queries: jax.Array, gal_i8: jax.Array,
+                           gal_scale: jax.Array, k: int,
+                           block_size: int) -> tuple[jax.Array, jax.Array]:
+    """XLA scan candidate stage (CPU fallback + oracle for the fused path).
 
     Queries are normalized + per-row quantized on the fly; scores ride the
     int8 MXU; per-block reduction uses ``jax.lax.approx_max_k`` — the

@@ -226,3 +226,110 @@ def test_index_with_mesh(eight_devices, data):
     vals, idx = index.search(queries, k=5)
     bv, bi = brute_force_cosine(queries, gallery, 5)
     np.testing.assert_array_equal(idx, bi)
+
+
+# ------------------------------------------------- fused candidate kernel
+
+def _quantize_queries(queries):
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+    qs = np.maximum(np.abs(qn).max(axis=-1, keepdims=True), 1e-8) / 127.0
+    qi = np.clip(np.round(qn / qs), -127, 127).astype(np.int8)
+    return jnp.asarray(qi), jnp.asarray(qs.astype(np.float32))
+
+
+def test_bucket_topk_pool_contains_exact_topk(data):
+    """Fused score+bucketed-top-2 (interpret mode): every exact-top-10
+    member survives into the pool across a multi-step, multi-subtile grid;
+    pool values match the scan path's int8 dequant math."""
+    from patent_tpu.ops.topk_kernel import bucket_topk_int8
+    from patent_tpu.retrieval.index import (_topk_scores_int8_scan,
+                                            quantize_gallery)
+
+    rng = np.random.default_rng(11)
+    gallery = rng.standard_normal((5000, 64)).astype(np.float32)
+    queries, _ = data
+    gi8, gsc = quantize_gallery(gallery)
+    qi, qs = _quantize_queries(queries)
+    vals, idx = bucket_topk_int8(qi, qs, jnp.asarray(gi8), jnp.asarray(gsc),
+                                 pool := 80, buckets=256, rows=512,
+                                 interpret=True)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    _bv, bi = brute_force_cosine(queries, gallery, 10)
+    for qrow, pool_row in zip(bi, idx):
+        missing = set(qrow) - set(pool_row)
+        assert not missing, f"exact top-10 member(s) lost: {missing}"
+    # values on the same scale as the scan oracle at matching indices
+    sv, si = _topk_scores_int8_scan(jnp.asarray(queries), jnp.asarray(gi8),
+                                    jnp.asarray(gsc), pool, 512)
+    sv, si = np.asarray(sv), np.asarray(si)
+    for q in range(len(queries)):
+        smap = dict(zip(si[q], sv[q]))
+        common = [j for j in idx[q] if j in smap]
+        assert len(common) >= 70          # approx_max_k pool ≈ fused pool
+        got = {j: v for j, v in zip(idx[q], vals[q])}
+        np.testing.assert_allclose([got[j] for j in common],
+                                   [smap[j] for j in common], atol=1e-5)
+
+
+@pytest.mark.parametrize("n", [100, 300])
+def test_bucket_topk_small_and_ragged_galleries(data, n):
+    """N below / between the bucket count and 2·buckets, none a multiple of
+    the block rows, rows == buckets (no intra-step fold): every distinct
+    column survives bucketing, so the pool is EXACTLY the int8 top-pool."""
+    from patent_tpu.ops.topk_kernel import bucket_topk_int8
+    from patent_tpu.retrieval.index import quantize_gallery
+
+    rng = np.random.default_rng(n)
+    gallery = rng.standard_normal((n, 64)).astype(np.float32)
+    queries = rng.standard_normal((5, 64)).astype(np.float32)
+    gi8, gsc = quantize_gallery(gallery)
+    qi, qs = _quantize_queries(queries)
+    pool = min(80, n)
+    vals, idx = bucket_topk_int8(qi, qs, jnp.asarray(gi8), jnp.asarray(gsc),
+                                 pool, buckets=256, rows=256, interpret=True)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert np.isfinite(vals).all()        # padded rows never selected
+    # int8-score brute force: the pool IS the exact int8 top-pool here
+    # (n ≤ 2·buckets keeps every distinct column alive through bucketing)
+    qi_np, qs_np = np.asarray(qi, np.int32), np.asarray(qs)
+    s = (qi_np @ np.asarray(gi8, np.int32).T).astype(np.float32) \
+        * qs_np * gsc[None, :]
+    want = np.argsort(-s, axis=1, kind="stable")[:, :pool]
+    for q in range(len(queries)):
+        assert set(idx[q]) == set(want[q])
+
+
+def test_bucket_topk_capacity_guard():
+    from patent_tpu.ops.topk_kernel import bucket_topk_int8
+
+    qi = jnp.zeros((4, 64), jnp.int8)
+    qs = jnp.ones((4, 1), jnp.float32)
+    gi = jnp.zeros((600, 64), jnp.int8)
+    sc = jnp.ones((600,), jnp.float32)
+    with pytest.raises(ValueError, match="candidate capacity"):
+        bucket_topk_int8(qi, qs, gi, sc, 520, buckets=256, rows=512,
+                         interpret=True)
+    with pytest.raises(ValueError, match="multiple of buckets"):
+        bucket_topk_int8(qi, qs, gi, sc, 80, buckets=256, rows=300,
+                         interpret=True)
+
+
+def test_quantized_index_fused_dispatch_matches_scan(data, monkeypatch):
+    """PATENT_TPU_FUSED_TOPK=force routes the full quantized search through
+    the fused kernel (interpret mode off-TPU): final exact-reranked results
+    equal the scan path's."""
+    queries, gallery = data
+    from patent_tpu.retrieval.index import (quantize_gallery,
+                                            topk_search_quantized)
+
+    gi8, gsc = quantize_gallery(gallery)
+    gi8, gsc = jnp.asarray(gi8), jnp.asarray(gsc)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "0")
+    v_scan, i_scan = topk_search_quantized(queries, gi8, gsc, gallery, k=10,
+                                           block_size=256)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    v_fused, i_fused = topk_search_quantized(queries, gi8, gsc, gallery,
+                                             k=10, block_size=256)
+    np.testing.assert_array_equal(i_scan, i_fused)
+    np.testing.assert_allclose(v_scan, v_fused, atol=1e-6)

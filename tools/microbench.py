@@ -212,10 +212,17 @@ def bench_index() -> dict:
         Q / _timed(f32, lambda v: float(sum_jit(v))), 1)}
     i8, sc = quantize_gallery(gallery)
     i8d, scd = jnp.asarray(i8), jnp.asarray(sc)
+    # production dispatch (fused Pallas kernel on TPU) + the scan oracle
     q8 = lambda: _topk_scores_int8(q_dev, i8d, scd, 80, 65536)[0]  # noqa: E731
     float(sum_jit(q8()))
     out["int8_stage_qps_200k"] = round(
         Q / _timed(q8, lambda v: float(sum_jit(v))), 1)
+    from patent_tpu.retrieval.index import _topk_scores_int8_scan
+
+    q8s = lambda: _topk_scores_int8_scan(q_dev, i8d, scd, 80, 65536)[0]  # noqa: E731
+    float(sum_jit(q8s()))
+    out["int8_stage_scan_qps_200k"] = round(
+        Q / _timed(q8s, lambda v: float(sum_jit(v))), 1)
     return out
 
 
