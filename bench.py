@@ -287,6 +287,45 @@ def bench_topk_int8(n_gallery: int = 1_000_000, dim: int = 512,
     return qps, spread, overlap
 
 
+def bench_topk_poincare_fused(n_gallery: int = 1_000_000, dim: int = 512,
+                              n_queries: int = 256, k: int = 10
+                              ) -> tuple[float, list[float], float]:
+    """Fused Poincaré candidate kernel + exact device re-rank at 1M scale
+    (the hyperbolic head's serving path, ops/topk_kernel.bucket_topk_poincare):
+    returns (QPS, spread, top-10 agreement vs the exact blockwise search)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.ops.topk_kernel import (bucket_topk_poincare,
+                                            prepare_poincare_gallery)
+    from patent_tpu.retrieval.index import (POINCARE_RERANK_MULT,
+                                            _poincare_rerank_device,
+                                            topk_search)
+
+    gallery, queries = _device_gallery(n_gallery, dim, n_queries,
+                                       poincare=True)
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, 1.0)
+    gal_bf16.block_until_ready()
+    pool = POINCARE_RERANK_MULT * k
+    sum_jit = jax.jit(jnp.sum)
+
+    def search():
+        _pv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool)
+        return _poincare_rerank_device(pidx, queries, gallery, k, 1.0)[0]
+
+    float(sum_jit(search()))                          # compile + warm
+    qps, spread = _timed_spread(search, lambda v: float(sum_jit(v)),
+                                n_queries)
+    _fv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool)
+    _rv, idx_f = _poincare_rerank_device(pidx, queries, gallery, k, 1.0)
+    _ev, idx_e = topk_search(queries, gallery, k=k, similarity="poincare",
+                             block_size=131072)
+    idx_f, idx_e = np.asarray(idx_f), np.asarray(idx_e)
+    agree = float(np.mean([len(set(idx_f[i]) & set(idx_e[i])) / k
+                           for i in range(n_queries)]))
+    return qps, spread, agree
+
+
 def bench_recall_parity(n_gallery: int = 20_000, dim: int = 512,
                         n_queries: int = 64, k: int = 10) -> float:
     import jax.numpy as jnp
@@ -567,6 +606,13 @@ def main() -> None:
         result["extras"]["topk_qps_200k_poincare_spread"] = \
             [round(v, 1) for v in spread]
 
+    def run_poincare_fused():
+        qps, spread, agree = bench_topk_poincare_fused()
+        result["extras"]["topk_qps_1M_poincare_fused"] = round(qps, 1)
+        result["extras"]["topk_qps_1M_poincare_fused_spread"] = \
+            [round(v, 1) for v in spread]
+        result["extras"]["recall10_poincare_fused_vs_exact"] = agree
+
     def run_hyp():
         sps, wall_ratio = bench_hyp_train()
         result["extras"]["hyp_train_steps_per_sec_b256_16k_labels"] = \
@@ -598,6 +644,8 @@ def main() -> None:
     section("topk_1M_int8", est_cost_s=90, fn=run_topk_int8)
     emit()
     section("poincare_200k", est_cost_s=45, fn=run_poincare)
+    emit()
+    section("poincare_1M_fused", est_cost_s=60, fn=run_poincare_fused)
 
     # a section that raised recorded <name>_error and kept going — status
     # must not claim a fully measured run in that case

@@ -61,12 +61,8 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
-                        i2_ref, *, buckets: int, rows: int):
-    """One grid step: score an [R, D] gallery block and fold it into the
-    per-bucket top-2 accumulators (the output refs, constant index map)."""
-    step = pl.program_id(0)
-
+def _init_accumulators(step, v1_ref, i1_ref, v2_ref, i2_ref):
+    """Zero the cross-step top-2 accumulators on the first grid step."""
     @pl.when(step == 0)
     def _():
         v1_ref[...] = jnp.full(v1_ref.shape, -jnp.inf, v1_ref.dtype)
@@ -74,19 +70,16 @@ def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
         v2_ref[...] = jnp.full(v2_ref.shape, -jnp.inf, v2_ref.dtype)
         i2_ref[...] = jnp.zeros(i2_ref.shape, i2_ref.dtype)
 
-    acc = jax.lax.dot_general(
-        q_ref[...], gal_ref[...],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)                     # [Q, R]
-    gsc = gsc_ref[...]                                        # [1, R]
-    # row (per-query) scale deferred to the wrapper: positive and constant
-    # per row, so it cannot change any within-row comparison below
-    s = jnp.where(gsc > 0.0, acc.astype(jnp.float32) * gsc, -jnp.inf)
-    base = step * rows
-    # intra-step fold: pairwise-reduce the R/L sub-tiles to ONE per-bucket
-    # step winner first (4 VPU passes per fold vs 12 per top-2 merge), then
-    # merge just the winner into the cross-step top-2 accumulators.  Loss
-    # cases this adds are negligible (see module docstring bound).
+
+def _fold_scores(s, base: int, buckets: int, rows: int,
+                 v1_ref, i1_ref, v2_ref, i2_ref):
+    """Fold one step's [Q, rows] score tile into the per-bucket top-2
+    accumulators (shared by every bucket-top-k kernel variant).
+
+    Intra-step fold: pairwise-reduce the R/L sub-tiles to ONE per-bucket
+    step winner first (4 VPU passes per fold vs 12 per top-2 merge), then
+    merge just the winner into the cross-step top-2 accumulators.  Loss
+    cases this adds are negligible (see module docstring bound)."""
     subs = []
     for t in range(rows // buckets):
         st = s[:, t * buckets:(t + 1) * buckets]              # [Q, L]
@@ -113,6 +106,24 @@ def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
     # new score demotes the old best, or takes slot 2 outright
     v2_ref[...] = jnp.where(gt1, v1, jnp.where(gt2, st, v2))
     i2_ref[...] = jnp.where(gt1, i1, jnp.where(gt2, col, i2))
+
+
+def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
+                        i2_ref, *, buckets: int, rows: int):
+    """One grid step: score an [R, D] gallery block and fold it into the
+    per-bucket top-2 accumulators (the output refs, constant index map)."""
+    step = pl.program_id(0)
+    _init_accumulators(step, v1_ref, i1_ref, v2_ref, i2_ref)
+    acc = jax.lax.dot_general(
+        q_ref[...], gal_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                     # [Q, R]
+    gsc = gsc_ref[...]                                        # [1, R]
+    # row (per-query) scale deferred to the wrapper: positive and constant
+    # per row, so it cannot change any within-row comparison below
+    s = jnp.where(gsc > 0.0, acc.astype(jnp.float32) * gsc, -jnp.inf)
+    _fold_scores(s, step * rows, buckets, rows,
+                 v1_ref, i1_ref, v2_ref, i2_ref)
 
 
 @functools.partial(jax.jit,
@@ -168,6 +179,12 @@ def bucket_topk_int8(q_i8: jax.Array, q_scale: jax.Array, gal_i8: jax.Array,
     """
     n, d = gal_i8.shape
     q = q_i8.shape[0]
+    if n <= 2 * buckets:
+        # lossless regime: with rows == buckets at most two columns ever
+        # share a bucket and the top-2 slots keep both — no intra-step
+        # fold losses for small/mid galleries (the probabilistic bound
+        # only matters when N ≫ buckets)
+        rows = buckets
     capacity = min(n, 2 * buckets if rows == buckets else buckets)
     if pool > capacity:
         raise ValueError(f"pool={pool} exceeds candidate capacity "
@@ -194,6 +211,147 @@ def bucket_topk_int8(q_i8: jax.Array, q_scale: jax.Array, gal_i8: jax.Array,
 
 def bucket_topk_supported(n: int, pool: int, buckets: int = 1024,
                           rows: int = 2048) -> bool:
-    """Whether the fused kernel's candidate capacity covers this request."""
+    """Whether the fused kernel's candidate capacity covers this request
+    (mirrors the wrappers' small-gallery ``rows = buckets`` clamp)."""
+    if n <= 2 * buckets:
+        rows = buckets
     cap = min(n, 2 * buckets if rows == buckets else buckets)
     return _HAS_PALLAS and pool <= cap
+
+
+# --------------------------------------------------------------- Poincaré
+# The hyperbolic candidate stage reuses the same bucket machinery with the
+# monotone Poincaré surrogate score (retrieval/index._scores_block):
+#
+#     s(v) = w·(2·u·v − |u|²) − |v|²·w,   w = 1/(1−c·|v|²)
+#
+# — one bf16 MXU matmul per block plus two per-column f32 affine rows (w and
+# b = |v|²·w, both precomputed once at index build).  The XLA scan path
+# materializes the [Q, block] f32 score tile to HBM and full-sorts it with
+# ``lax.top_k`` every block; here HBM sees only the bf16 gallery stream
+# (half the bytes of the f32 gallery on top of skipping the score tiles).
+#
+# Numerics: the surrogate expands |u−v|²·w, so near the ball boundary
+# (w → 1e4 at dist0 ≈ 8, c=2 — the trained models' regularizer band edge)
+# BOTH the f32 scan surrogate and this bf16 kernel lose fine ordering to
+# cancellation.  The fused path is therefore architected as candidate
+# generation + exact re-rank: the caller re-scores the over-fetched pool
+# with the cancellation-free direct form dist(u,v) (ops/poincare.dist on
+# device, or f64 on host), which the scan surrogate path never does for
+# more than the k winners.  Pool membership under bf16 score noise is
+# pinned by tests/test_index.py including a near-boundary stress case.
+
+
+def _bucket_topk_poincare_kernel(q_ref, qsq_ref, gal_ref, w_ref, b_ref,
+                                 v1_ref, i1_ref, v2_ref, i2_ref, *,
+                                 buckets: int, rows: int):
+    step = pl.program_id(0)
+    _init_accumulators(step, v1_ref, i1_ref, v2_ref, i2_ref)
+    acc = jax.lax.dot_general(
+        q_ref[...], gal_ref[...],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [Q, R]
+    w = w_ref[...]                                            # [1, R]
+    s = (2.0 * acc - qsq_ref[...]) * w - b_ref[...]
+    s = jnp.where(w > 0.0, s, -jnp.inf)       # w==0 marks padded rows
+    _fold_scores(s, step * rows, buckets, rows,
+                 v1_ref, i1_ref, v2_ref, i2_ref)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("buckets", "rows", "interpret"))
+def _bucket_topk_poincare_call(q_bf16: jax.Array, q_sq: jax.Array,
+                               gal_bf16: jax.Array, w: jax.Array,
+                               b: jax.Array, buckets: int, rows: int,
+                               interpret: bool = False):
+    qp, dp = q_bf16.shape
+    n_steps = gal_bf16.shape[0] // rows
+    out = jax.ShapeDtypeStruct((qp, buckets), jnp.float32)
+    out_i = jax.ShapeDtypeStruct((qp, buckets), jnp.int32)
+    acc_spec = pl.BlockSpec((qp, buckets), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, rows), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_bucket_topk_poincare_kernel, buckets=buckets,
+                          rows=rows),
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec((qp, dp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, dp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=(acc_spec, acc_spec, acc_spec, acc_spec),
+        out_shape=(out, out_i, out, out_i),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * dp * rows * n_steps,
+            bytes_accessed=(gal_bf16.size * 2 + (w.size + b.size) * 4
+                            + q_bf16.size * 2 + 4 * qp * buckets * 4),
+            transcendentals=0),
+        interpret=interpret,
+    )(q_bf16, q_sq, gal_bf16, w, b)
+
+
+def prepare_poincare_gallery(gallery, c: float
+                             ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One-time index-build transform: ball points [N, D] → the fused
+    kernel's operands (gal_bf16 [N, D], w [N] f32, b [N] f32).
+
+    ``w`` and ``b`` are computed in f32 from the ORIGINAL f32 rows (not the
+    bf16 copy) so the per-row affine terms keep full precision; bf16 only
+    enters through the dot product.  bf16 halves the HBM stream vs the f32
+    scan path — at 1M×512 the gallery is 1 GB instead of 2 GB per pass."""
+    g = jnp.asarray(gallery, jnp.float32)
+    g_sq = jnp.sum(jnp.square(g), axis=-1)
+    w = 1.0 / jnp.maximum(1.0 - c * g_sq, 1e-12)
+    return g.astype(jnp.bfloat16), w, g_sq * w
+
+
+def bucket_topk_poincare(queries: jax.Array, gal_bf16: jax.Array,
+                         w: jax.Array, b: jax.Array, pool: int, *,
+                         buckets: int = 1024, rows: int = 2048,
+                         interpret: bool = False
+                         ) -> tuple[jax.Array, jax.Array]:
+    """Top-``pool`` Poincaré-surrogate candidates over the whole gallery.
+
+    queries [Q, D] f32 ball points; (gal_bf16, w, b) from
+    ``prepare_poincare_gallery``.  Returns (vals [Q, pool] f32 on the
+    surrogate scale, idx [Q, pool] int32) best-first.  Same candidate-
+    capacity contract as ``bucket_topk_int8``; callers MUST re-rank the
+    pool with the exact distance (see module note on boundary numerics)."""
+    n, d = gal_bf16.shape
+    q = queries.shape[0]
+    if n <= 2 * buckets:
+        rows = buckets          # lossless regime (see bucket_topk_int8)
+    capacity = min(n, 2 * buckets if rows == buckets else buckets)
+    if pool > capacity:
+        raise ValueError(f"pool={pool} exceeds candidate capacity "
+                         f"{capacity} (N={n}, buckets={buckets}, "
+                         f"rows={rows})")
+    if rows % buckets:
+        raise ValueError(f"rows={rows} must be a multiple of buckets={buckets}")
+    qf = jnp.asarray(queries, jnp.float32)
+    q_sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)    # [Q, 1] f32
+    qp = _round_up(max(q, 16), 16)          # bf16 sublane tile
+    dp = _round_up(d, 128)
+    np_rows = _round_up(n, rows)
+    q_bf16 = qf.astype(jnp.bfloat16)
+    if (qp, dp) != (q, d):
+        q_bf16 = jnp.pad(q_bf16, ((0, qp - q), (0, dp - d)))
+        q_sq = jnp.pad(q_sq, ((0, qp - q), (0, 0)))
+    if (np_rows, dp) != (n, d):
+        gal_bf16 = jnp.pad(gal_bf16, ((0, np_rows - n), (0, dp - d)))
+    w = jnp.pad(w, (0, np_rows - n))              # zeros mask padded rows
+    b = jnp.pad(b, (0, np_rows - n))
+    v1, i1, v2, i2 = _bucket_topk_poincare_call(
+        q_bf16, q_sq, gal_bf16, w.reshape(1, -1), b.reshape(1, -1),
+        buckets, rows, interpret)
+    vals2 = jnp.concatenate([v1, v2], axis=1)[:q]             # [Q, 2L]
+    idx2 = jnp.concatenate([i1, i2], axis=1)[:q]
+    vals, pos = jax.lax.top_k(vals2, pool)
+    return vals, jnp.take_along_axis(idx2, pos, axis=1)

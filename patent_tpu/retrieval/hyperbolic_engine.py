@@ -36,7 +36,12 @@ class HyperbolicRetrievalEngine:
 
     def __init__(self, model: HyperbolicEmbeddingModel, params: dict,
                  features: np.ndarray, names: Sequence[str],
-                 batch_size: int = 512, mesh=None):
+                 batch_size: int = 512, mesh=None, quantized: bool = False):
+        """``quantized=True``: the gallery lives on device as bf16 + f32
+        affine rows and searches run the fused Poincaré candidate kernel
+        with an exact f64 re-rank (ops/topk_kernel.bucket_topk_poincare) —
+        measured multiples of the exact scan's QPS at 1M scale (bench
+        ``topk_qps_1M_poincare_fused``) at half the HBM."""
         self.model = model
         self.params = params
         self.c = model.c
@@ -46,7 +51,7 @@ class HyperbolicRetrievalEngine:
         gallery = self.encode_features(features)
         self.index = EmbeddingIndex(gallery, list(names),
                                     similarity="poincare", c=self.c,
-                                    mesh=mesh)
+                                    mesh=mesh, quantized=quantized)
 
     def encode_features(self, features: np.ndarray) -> np.ndarray:
         xs = np.asarray(features, np.float32)

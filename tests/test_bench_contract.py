@@ -36,6 +36,8 @@ def test_bench_json_schema(monkeypatch, capsys):
                         lambda *a, **k: (8000.0, [7900.0, 8100.0]))
     monkeypatch.setattr(bench, "bench_topk_int8",
                         lambda *a, **k: (40000.0, [39000.0, 41000.0], 1.0))
+    monkeypatch.setattr(bench, "bench_topk_poincare_fused",
+                        lambda *a, **k: (25000.0, [24000.0, 26000.0], 1.0))
     monkeypatch.setattr(bench, "bench_recall_parity", lambda *a, **k: 1.0)
     monkeypatch.setattr(bench, "bench_hyp_train",
                         lambda *a, **k: (450.0, 1.5))
@@ -56,6 +58,8 @@ def test_bench_json_schema(monkeypatch, capsys):
     assert ex["int8_pruned128_ips"] == 4800.0
     assert ex["pruned176_vs_full_cosine_min"] == 0.9992
     assert ex["hyp_train_epoch_wall_vs_device"] == 1.5
+    assert ex["topk_qps_1M_poincare_fused"] == 25000.0
+    assert ex["recall10_poincare_fused_vs_exact"] == 1.0
     assert ex["skipped"] == []
 
 

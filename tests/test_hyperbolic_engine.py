@@ -86,3 +86,22 @@ def test_retrieve_api(trained):
     scores = [s for _n, s in res[0]]
     assert scores == sorted(scores, reverse=True)
     assert all(s <= 0 for s in scores)
+
+
+def test_quantized_engine_matches_exact(trained, monkeypatch):
+    """quantized=True (fused Poincaré candidates + exact re-rank, interpret
+    mode via =force) returns the exact engine's rankings on TRAINED ball
+    embeddings — the serving activation statistics, not synthetic noise."""
+    records, graph, td, model, _init, best_params, names = trained
+    q_rows, g_rows, _gt = _split_eval(records, td, names)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    fast = HyperbolicRetrievalEngine(
+        model, best_params, td.x_figures[g_rows],
+        [names[g] for g in g_rows], batch_size=64, quantized=True)
+    exact = HyperbolicRetrievalEngine(
+        model, best_params, td.x_figures[g_rows],
+        [names[g] for g in g_rows], batch_size=64)
+    fv, fi = fast.index.search(fast.encode_features(td.x_figures[q_rows]), k=8)
+    ev, ei = exact.index.search(exact.encode_features(td.x_figures[q_rows]), k=8)
+    np.testing.assert_array_equal(fi, ei)
+    np.testing.assert_allclose(fv, ev, rtol=2e-4, atol=2e-4)

@@ -106,8 +106,8 @@ def test_quantized_index_sharded_matches_single_device(data, eight_devices):
 
 def test_quantized_index_guards():
     g = np.eye(8, 16, dtype=np.float32)
-    with pytest.raises(ValueError, match="cosine only"):
-        EmbeddingIndex(g, [f"g{i}" for i in range(8)], similarity="poincare",
+    with pytest.raises(ValueError, match="cosine and poincare only"):
+        EmbeddingIndex(g, [f"g{i}" for i in range(8)], similarity="dot",
                        quantized=True)
 
 
@@ -333,3 +333,180 @@ def test_quantized_index_fused_dispatch_matches_scan(data, monkeypatch):
                                              k=10, block_size=256)
     np.testing.assert_array_equal(i_scan, i_fused)
     np.testing.assert_allclose(v_scan, v_fused, atol=1e-6)
+
+
+# -------------------------------------------- fused Poincaré candidate path
+
+def _random_ball(rng, n, d, c, r_frac_max=0.95):
+    """Random Poincaré-ball points: uniform directions, radii up to
+    ``r_frac_max`` of the ball radius 1/√c."""
+    x = rng.standard_normal((n, d))
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    radii = rng.uniform(0.05, r_frac_max, (n, 1)) / np.sqrt(c)
+    return (x * radii).astype(np.float32)
+
+
+def _poincare_brute_f64(q, g, c, k):
+    q64, g64 = q.astype(np.float64), g.astype(np.float64)
+    diff_sq = np.sum((q64[:, None, :] - g64[None, :, :]) ** 2, axis=-1)
+    den = ((1.0 - c * np.sum(q64 * q64, -1))[:, None]
+           * (1.0 - c * np.sum(g64 * g64, -1))[None, :])
+    d = np.arccosh(np.maximum(1.0 + 2.0 * c * diff_sq / den, 1.0)) / np.sqrt(c)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(d, idx, axis=1), idx
+
+
+@pytest.mark.parametrize("c", [1.0, 2.0])
+def test_bucket_topk_poincare_pool_contains_exact(c):
+    """Fused Poincaré surrogate kernel (interpret): every exact (f64)
+    top-10 member survives into the pool across a multi-step grid."""
+    from patent_tpu.ops.topk_kernel import (bucket_topk_poincare,
+                                            prepare_poincare_gallery)
+
+    rng = np.random.default_rng(23)
+    gallery = _random_ball(rng, 3000, 64, c)
+    queries = _random_ball(rng, 9, 64, c)
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    vals, idx = bucket_topk_poincare(jnp.asarray(queries), gal_bf16, w, b,
+                                     pool := 80, buckets=256, rows=512,
+                                     interpret=True)
+    idx = np.asarray(idx)
+    assert np.isfinite(np.asarray(vals)).all()
+    _bd, bi = _poincare_brute_f64(queries, gallery, c, 10)
+    for qrow, pool_row in zip(bi, idx):
+        missing = set(qrow) - set(pool_row)
+        assert not missing, f"exact top-10 member(s) lost: {missing}"
+
+
+def test_poincare_fast_matches_f64_brute_force(monkeypatch):
+    """Full fast path (fused candidates + exact host f64 re-rank, interpret
+    mode via =force): indices equal the f64 brute force; values are the
+    −distance convention of topk_search."""
+    from patent_tpu.ops.topk_kernel import prepare_poincare_gallery
+    from patent_tpu.retrieval.index import topk_search_poincare_fast
+
+    c = 2.0
+    rng = np.random.default_rng(5)
+    gallery = _random_ball(rng, 1500, 32, c)
+    queries = _random_ball(rng, 7, 32, c)
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    vals, idx = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+                                          k=10, c=c)
+    bd, bi = _poincare_brute_f64(queries, gallery, c, 10)
+    np.testing.assert_array_equal(idx, bi)
+    np.testing.assert_allclose(vals, -bd, rtol=2e-5, atol=1e-5)
+
+
+def test_poincare_fast_near_boundary(monkeypatch):
+    """Near-boundary stress (radii up to 0.9995/√c — w into the 1e3 range,
+    the regime where the expanded surrogate loses precision): the fast
+    path's exact re-rank still returns the f64 top-k."""
+    from patent_tpu.ops.topk_kernel import prepare_poincare_gallery
+    from patent_tpu.retrieval.index import topk_search_poincare_fast
+
+    c = 2.0
+    rng = np.random.default_rng(31)
+    # clustered near-boundary gallery: many points in a narrow cone so the
+    # candidate stage must separate genuinely close neighbors
+    base = rng.standard_normal(16)
+    base /= np.linalg.norm(base)
+    dirs = base[None, :] + 0.05 * rng.standard_normal((800, 16))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    radii = rng.uniform(0.99, 0.9995, (800, 1)) / np.sqrt(c)
+    gallery = (dirs * radii).astype(np.float32)
+    queries = gallery[:5] * 0.999            # queries just inside neighbors
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    vals, idx = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+                                          k=5, c=c, rerank_mult=16)
+    _bd, bi = _poincare_brute_f64(queries, gallery, c, 5)
+    # membership (not order) for the full k, exact order for the top-1:
+    # among near-identical neighbors f64 ties can reorder legitimately
+    assert np.array_equal(idx[:, 0], bi[:, 0])
+    for got, want in zip(idx, bi):
+        assert set(got) == set(want)
+
+
+def test_embedding_index_quantized_poincare(monkeypatch):
+    """EmbeddingIndex(quantized=True, similarity='poincare') returns the
+    same results as the exact unquantized poincaré index."""
+    c = 1.0
+    rng = np.random.default_rng(13)
+    gallery = _random_ball(rng, 400, 16, c, r_frac_max=0.8)
+    queries = _random_ball(rng, 6, 16, c, r_frac_max=0.8)
+    names = [f"g{i}" for i in range(len(gallery))]
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    fast = EmbeddingIndex(gallery, names, similarity="poincare", c=c,
+                          quantized=True)
+    exact = EmbeddingIndex(gallery, names, similarity="poincare", c=c)
+    fv, fi = fast.search(queries, k=8)
+    ev, ei = exact.search(queries, k=8)
+    np.testing.assert_array_equal(fi, ei)
+    np.testing.assert_allclose(fv, ev, rtol=2e-4, atol=2e-4)
+
+
+def test_poincare_fast_fallback_off_tpu(monkeypatch):
+    """Without =force and off-TPU the fast path must silently use the exact
+    blockwise search — identical results, no kernel."""
+    from patent_tpu.ops.topk_kernel import prepare_poincare_gallery
+    from patent_tpu.retrieval.index import (topk_search,
+                                            topk_search_poincare_fast)
+
+    c = 1.0
+    rng = np.random.default_rng(3)
+    gallery = _random_ball(rng, 300, 16, c, r_frac_max=0.7)
+    queries = _random_ball(rng, 4, 16, c, r_frac_max=0.7)
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    monkeypatch.delenv("PATENT_TPU_FUSED_TOPK", raising=False)
+    fv, fi = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+                                       k=6, c=c, block_size=64)
+    ev, ei = topk_search(jnp.asarray(queries), jnp.asarray(gallery), k=6,
+                         similarity="poincare", block_size=64, c=c)
+    np.testing.assert_array_equal(fi, np.asarray(ei))
+    np.testing.assert_allclose(fv, np.asarray(ev), atol=1e-5)
+
+
+def test_sharded_poincare_fast_matches_single(eight_devices, monkeypatch):
+    """Sharded fast Poincaré search (per-shard surrogate pools + all_gather
+    merge + f64 re-rank) over a ragged gallery equals the single-device fast
+    path AND the f64 brute force."""
+    from patent_tpu.ops.topk_kernel import prepare_poincare_gallery
+    from patent_tpu.retrieval.index import (
+        sharded_topk_search_poincare_fast, topk_search_poincare_fast)
+
+    c = 1.5
+    rng = np.random.default_rng(17)
+    gallery = _random_ball(rng, 301, 16, c, r_frac_max=0.85)  # 301 % 8 != 0
+    queries = _random_ball(rng, 6, 16, c, r_frac_max=0.85)
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    sv, si = sharded_topk_search_poincare_fast(mesh, queries, gal_bf16, w, b,
+                                               gallery, k=5, c=c,
+                                               block_size=64)
+    fv, fi = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+                                       k=5, c=c, block_size=64)
+    np.testing.assert_array_equal(si, fi)
+    np.testing.assert_allclose(sv, fv, atol=1e-6)
+    _bd, bi = _poincare_brute_f64(queries, gallery, c, 5)
+    np.testing.assert_array_equal(si, bi)
+
+
+def test_index_mesh_quantized_poincare(eight_devices, monkeypatch):
+    """EmbeddingIndex(quantized=True, similarity='poincare', mesh=...)
+    routes through the sharded fast path and matches the exact index."""
+    c = 1.0
+    rng = np.random.default_rng(29)
+    gallery = _random_ball(rng, 300, 16, c, r_frac_max=0.8)
+    queries = _random_ball(rng, 5, 16, c, r_frac_max=0.8)
+    names = [f"g{i}" for i in range(len(gallery))]
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    fast = EmbeddingIndex(gallery, names, similarity="poincare", c=c,
+                          quantized=True, mesh=mesh)
+    exact = EmbeddingIndex(gallery, names, similarity="poincare", c=c)
+    fv, fi = fast.search(queries, k=6)
+    ev, ei = exact.search(queries, k=6)
+    np.testing.assert_array_equal(fi, ei)
+    np.testing.assert_allclose(fv, ev, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Same-process A/B: fused Poincaré bucket candidate kernel + exact device
+re-rank vs the exact blockwise surrogate scan (retrieval/index.topk_search
+similarity="poincare") at serving scale (1M×512 ball gallery, 256 queries).
+
+The scan materializes the [Q, block] f32 surrogate tile to HBM and
+full-sorts it with ``lax.top_k`` per block; the fused path streams a bf16
+gallery (half the bytes) through VMEM-resident per-bucket top-2
+accumulators, then exact-re-ranks the 80-candidate pool with the
+cancellation-free direct distance (ops/poincare.dist) on device.
+
+Prints one JSON line: QPS per variant (median of 3) and the fused path's
+top-10 agreement against the exact search.  Measured (v5e, warm):
+fused 25.9k QPS vs scan 8.4k (3.09x) at pool=80, agreement 0.99961;
+pool=160 left agreement EXACTLY unchanged while halving QPS (14.1k) -
+the residual misses are bf16-score/bucket candidate losses, not
+pool-boundary ones, so deeper pools buy nothing.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from patent_tpu.ops.topk_kernel import (bucket_topk_poincare,
+                                            prepare_poincare_gallery)
+    from patent_tpu.retrieval.index import (_poincare_rerank_device,
+                                            topk_search)
+    from patent_tpu.utils.compile_cache import enable_compilation_cache
+    from patent_tpu.utils.timing import timed_spread
+
+    enable_compilation_cache()
+    n, dim, nq, k, pool, c = 1_000_000, 512, 256, 10, 80, 2.0
+    rows = int(os.environ.get("PATENT_TPU_FUSED_TOPK_ROWS", "2048"))
+    buckets = int(os.environ.get("PATENT_TPU_FUSED_TOPK_BUCKETS", "1024"))
+
+    @jax.jit
+    def gen(key):
+        kg, kq = jax.random.split(key)
+        g = jax.random.normal(kg, (n, dim), jnp.float32)
+        q = jax.random.normal(kq, (nq, dim), jnp.float32)
+        # radii spread over the ball interior (up to 0.95/√c)
+        def to_ball(x, key):
+            r = jax.random.uniform(key, (x.shape[0], 1), minval=0.05,
+                                   maxval=0.95) / jnp.sqrt(c)
+            return x / jnp.linalg.norm(x, axis=-1, keepdims=True) * r
+        return to_ball(g, kg), to_ball(q, kq)
+
+    gallery, queries = gen(jax.random.key(0))
+    gallery.block_until_ready()
+    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    gal_bf16.block_until_ready()
+    sum_jit = jax.jit(jnp.sum)
+    out = {"shape": f"{n}x{dim}, Q={nq}, pool={pool}, c={c}",
+           "rows": rows, "buckets": buckets}
+
+    def fused():
+        _pv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool,
+                                         buckets=buckets, rows=rows)
+        return _poincare_rerank_device(pidx, queries, gallery, k, c)[0]
+
+    def scan():
+        return topk_search(queries, gallery, k=k, similarity="poincare",
+                           block_size=131072, c=c)[0]
+
+    _ev, idx_exact = topk_search(queries, gallery, k=k,
+                                 similarity="poincare", block_size=131072,
+                                 c=c)
+    idx_exact = np.asarray(idx_exact)
+
+    for name, fn in (("fused", fused), ("scan", scan)):
+        float(sum_jit(fn()))                           # compile + warm
+        qps, spread = timed_spread(fn, lambda v: float(sum_jit(v)), nq,
+                                   2, 8, 3)
+        out[f"{name}_qps"] = round(qps, 1)
+        out[f"{name}_spread"] = [round(v, 1) for v in spread]
+
+    _fv, idx_fused = bucket_topk_poincare(queries, gal_bf16, w, b, pool,
+                                          buckets=buckets, rows=rows)
+    _rv, idx_r = _poincare_rerank_device(idx_fused, queries, gallery, k, c)
+    idx_r = np.asarray(idx_r)
+    out["fused_recall10_vs_exact"] = round(float(np.mean(
+        [len(set(idx_r[i]) & set(idx_exact[i])) / k for i in range(nq)])), 5)
+    out["fused_vs_scan"] = round(out["fused_qps"] / out["scan_qps"], 2)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
