@@ -240,14 +240,18 @@ def main(argv: list[str] | None = None) -> int:
         from ..train.train_gcn import (export_graph_embeddings,
                                        train_pair_classification)
 
+        # pass the ETL's native scipy-sparse adjacency: prepare_adjacency
+        # picks sparse (O(E·D) gather+segment-sum) above 16k nodes — the
+        # only representation that fits the 2019-scale 95k-node graph
         variables, history, report = train_pair_classification(
-            x, graph.adjacency.toarray(), pairs, labels, cfg, logger=logger)
+            x, graph.adjacency, pairs, labels, cfg, logger=logger)
         print(json.dumps({k: v for k, v in report.items()
                           if k != "confusion_matrix"}, indent=2))
         # export graph embeddings for the alignment stage (L9)
         emb = export_graph_embeddings(
-            variables, x, graph.adjacency.toarray(), cfg.hidden_dim,
-            cfg.latent_dim, cfg.num_layers, graph.figure_index)
+            variables, x, graph.adjacency, cfg.hidden_dim,
+            cfg.latent_dim, cfg.num_layers, graph.figure_index,
+            adjacency_mode=cfg.adjacency)
         out_dir = os.path.join(args.path, "graph_embeddings")
         os.makedirs(out_dir, exist_ok=True)
         import pickle

@@ -12,8 +12,50 @@ instead of being re-normalized inside every forward like the reference
 from __future__ import annotations
 
 import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class SparseAdj:
+    """Normalized adjacency in sorted COO form for the sparse GCN path.
+
+    The dense path materializes the [N, N] normalized adjacency — 7.7 GB
+    f32 at the reference's 2018 scale (44k nodes, fits bf16) and ~36 GB at
+    its 2019 scale (95,299 figures + labels, split_query.ipynb cell 10) —
+    IMPOSSIBLE on a 16 GB chip.  The patent graph is extremely sparse
+    (tree-like hierarchy: figure→patent→medium→big→main, ~2-4 edges/node),
+    so the same contraction runs as gather + segment-sum over the E edges:
+    O(E·D) HBM traffic instead of O(N²) — both faster at 44k and the only
+    option at 95k.
+
+    ``rows`` are sorted ascending (scipy CSR→COO order) so ``segment_sum``
+    takes the sorted fast path; ``n`` is static for jit."""
+
+    rows: jax.Array                                   # [E] int32, sorted
+    cols: jax.Array                                   # [E] int32
+    vals: jax.Array                                   # [E] f32
+    n: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+
+def spmm(adj: SparseAdj, y: jax.Array) -> jax.Array:
+    """A @ y for a SparseAdj: gather + sorted segment-sum on the VPU."""
+    return jax.ops.segment_sum(adj.vals[:, None] * y[adj.cols], adj.rows,
+                               num_segments=adj.n, indices_are_sorted=True)
+
+
+def adj_rowsum(a_tilde) -> jax.Array:
+    """Row sums [N] for either adjacency representation (f32)."""
+    if isinstance(a_tilde, SparseAdj):
+        return jax.ops.segment_sum(a_tilde.vals, a_tilde.rows,
+                                   num_segments=a_tilde.n,
+                                   indices_are_sorted=True)
+    return jnp.sum(a_tilde.astype(jnp.float32), axis=1)
 
 
 def normalize_adjacency(a: jax.Array, out_dtype=None) -> jax.Array:
@@ -69,20 +111,47 @@ def normalize_adjacency_host(a: "np.ndarray", out_dtype: str = "bfloat16",
                     else out_dtype)
 
 
+def normalize_adjacency_sparse(a, out_dtype=None) -> SparseAdj:
+    """Sparse (scipy) twin of ``normalize_adjacency``: self-loops +
+    symmetric D^{-1/2} A D^{-1/2} + (M + Mᵀ)/2 re-symmetrization — the SAME
+    math as the dense and host paths, so all three agree bit-for-bit up to
+    float rounding (pinned in tests/test_gcn_sparse.py).  Accepts any
+    scipy.sparse matrix; returns a sorted-COO ``SparseAdj``."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a, dtype="float32", copy=True)
+    n = a.shape[0]
+    a = a + sp.identity(n, dtype="float32", format="csr")
+    d = np.asarray(a.sum(axis=1)).ravel()
+    d_inv_sqrt = 1.0 / np.sqrt(1e-10 + d)
+    dmat = sp.diags(d_inv_sqrt)
+    m = dmat @ a @ dmat
+    m = (m + m.T) * 0.5
+    coo = m.tocsr().tocoo()                 # CSR round-trip sorts by row
+    vals = coo.data.astype(out_dtype if out_dtype is not None else "float32")
+    return SparseAdj(rows=jnp.asarray(coo.row, jnp.int32),
+                     cols=jnp.asarray(coo.col, jnp.int32),
+                     vals=jnp.asarray(vals), n=n)
+
+
 class GCNLayer(nn.Module):
     """A_tilde @ (X @ W) with xavier init (reference src/models.py:187-197).
 
-    A bf16 ``a_tilde`` runs the [N, N] matmul on the bf16 MXU with f32
-    accumulation (the dominant FLOPs at graph scale) — X·W stays f32 and is
-    cast down only for the A contraction."""
+    Dense path: a bf16 ``a_tilde`` runs the [N, N] matmul on the bf16 MXU
+    with f32 accumulation (the dominant FLOPs at graph scale) — X·W stays
+    f32 and is cast down only for the A contraction.  A ``SparseAdj``
+    contracts via gather + sorted segment-sum instead (O(E·D))."""
 
     features: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, a_tilde: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, a_tilde) -> jax.Array:
         kernel = self.param("kernel", nn.initializers.xavier_uniform(),
                             (x.shape[-1], self.features))
         xw = jnp.dot(x, kernel)             # [N, out]  (MXU)
+        if isinstance(a_tilde, SparseAdj):
+            return spmm(a_tilde, xw)
         return jnp.dot(a_tilde, xw.astype(a_tilde.dtype),
                        preferred_element_type=jnp.float32)
 
@@ -97,14 +166,14 @@ class ResidualGCNEncoder(nn.Module):
     num_layers: int = 3
 
     @nn.compact
-    def __call__(self, x: jax.Array, a_tilde: jax.Array,
+    def __call__(self, x: jax.Array, a_tilde,
                  *, deterministic: bool = True) -> jax.Array:
         # the reference row-normalizes A on the fly (models.py:233).  Use
         # (A @ Y) / rowsum instead of (A / rowsum) @ Y — same math, but no
         # second N×N tensor is ever materialized (at 44k nodes that
-        # intermediate alone is 3.9-7.7 GB)
-        inv_row = 1.0 / (jnp.sum(a_tilde.astype(jnp.float32), axis=1,
-                                 keepdims=True) + 1e-8)
+        # intermediate alone is 3.9-7.7 GB); adj_rowsum dispatches dense /
+        # SparseAdj
+        inv_row = 1.0 / (adj_rowsum(a_tilde)[:, None] + 1e-8)
 
         def gcn(feats, layer):
             return layer(feats, a_tilde) * inv_row

@@ -20,29 +20,54 @@ import optax
 
 from ..metrics.classification import confusion_counts, per_class_prf
 from ..models.gcn import (EnhancedVGAE, normalize_adjacency,
-                          normalize_adjacency_host)
+                          normalize_adjacency_host,
+                          normalize_adjacency_sparse)
 from ..utils.config import GCNTrainConfig
 from ..utils.logging import MetricsLogger
 
 
-def train_pair_classification(x: np.ndarray, adjacency: np.ndarray,
+def prepare_adjacency(adjacency, mode: str = "auto"):
+    """Adjacency policy shared by the trainer and the embedding exporter.
+
+    ``adjacency`` may be a dense ndarray or any scipy.sparse matrix (the
+    ETL's native format, data/graph_build.py).  Modes:
+
+      * ``"sparse"`` — sorted-COO SparseAdj; the GCN contracts via gather +
+        segment-sum (O(E·D)).  The ONLY option at the reference's 2019
+        scale (95,299 figures → a dense N² is ~36 GB), and measured faster
+        than dense-bf16 at the 2018 44k scale too (tools/ab_gcn_sparse.py).
+      * ``"dense"`` — [N, N] on device; above 16k nodes normalized on host
+        and shipped bf16 (f32 intermediates OOM v5e at 44k).
+      * ``"auto"`` — sparse for scipy input above 16k nodes, dense
+        otherwise (small graphs ride the MXU; dense ndarray callers keep
+        the proven dense path).
+    """
+    import scipy.sparse as sp
+
+    is_sp = sp.issparse(adjacency)
+    n = adjacency.shape[0]
+    if mode == "auto":
+        mode = "sparse" if (is_sp and n > 16384) else "dense"
+    if mode == "sparse":
+        return normalize_adjacency_sparse(
+            adjacency if is_sp else sp.csr_matrix(adjacency))
+    dense = adjacency.toarray() if is_sp else adjacency
+    if n > 16384:
+        return jnp.asarray(normalize_adjacency_host(dense))
+    return normalize_adjacency(jnp.asarray(dense, jnp.float32))
+
+
+def train_pair_classification(x: np.ndarray, adjacency,
                               pairs: np.ndarray, labels: np.ndarray,
                               cfg: GCNTrainConfig,
                               logger: MetricsLogger | None = None
                               ) -> tuple[dict, dict, dict]:
-    """Returns (variables, history, test_report)."""
+    """Returns (variables, history, test_report).  ``adjacency`` may be
+    dense or scipy-sparse — see ``prepare_adjacency``."""
     logger = logger or MetricsLogger(print_every=20)
     rng = np.random.default_rng(cfg.seed)
 
-    # bf16 adjacency above 16k nodes, normalized ON HOST: halves the
-    # resident N x N matrix, runs the A contraction at the bf16 MXU rate
-    # (f32 accumulation), and avoids the device-side normalize whose eager
-    # f32 intermediates OOM v5e at the reference's 44k-node scale
-    big = adjacency.shape[0] > 16384
-    if big:
-        a_tilde = jnp.asarray(normalize_adjacency_host(adjacency))
-    else:
-        a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
+    a_tilde = prepare_adjacency(adjacency, cfg.adjacency)
     x_dev = jnp.asarray(x, jnp.float32)
     model = EnhancedVGAE(hidden_dim=cfg.hidden_dim, latent_dim=cfg.latent_dim,
                          num_layers=cfg.num_layers)
@@ -162,20 +187,18 @@ def train_pair_classification(x: np.ndarray, adjacency: np.ndarray,
 
 
 def export_graph_embeddings(variables: dict, x: np.ndarray,
-                            adjacency: np.ndarray, hidden_dim: int,
+                            adjacency, hidden_dim: int,
                             latent_dim: int, num_layers: int,
-                            figure_index: dict[str, int]) -> dict[str, np.ndarray]:
+                            figure_index: dict[str, int],
+                            adjacency_mode: str = "auto"
+                            ) -> dict[str, np.ndarray]:
     """Full-graph inference → L2-normalized per-figure embedding dict
     (reference compute_graph_embeddings.py:16-62: infer, normalize, key by
-    the image index)."""
+    the image index).  Same adjacency policy as the trainer
+    (``prepare_adjacency``) so exported embeddings match training."""
     model = EnhancedVGAE(hidden_dim=hidden_dim, latent_dim=latent_dim,
                          num_layers=num_layers)
-    # same big-graph policy as the trainer: host-side normalize + bf16
-    # upload (device-side f32 normalize OOMs at the 44k-node scale)
-    if adjacency.shape[0] > 16384:
-        a_tilde = jnp.asarray(normalize_adjacency_host(adjacency))
-    else:
-        a_tilde = normalize_adjacency(jnp.asarray(adjacency, jnp.float32))
+    a_tilde = prepare_adjacency(adjacency, adjacency_mode)
     z = model.apply({"params": variables["params"],
                      "batch_stats": variables["batch_stats"]},
                     jnp.asarray(x, jnp.float32), a_tilde, deterministic=True)

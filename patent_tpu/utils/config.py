@@ -83,6 +83,9 @@ class GCNTrainConfig:
     seed: int = 42
     graph_dir: str = "data/graph"
     model_dir: str = "models"
+    # adjacency representation: "auto" (sparse for scipy input >16k nodes),
+    # "dense", or "sparse" — see train/train_gcn.py::prepare_adjacency
+    adjacency: str = "auto"
 
 
 @dataclasses.dataclass

@@ -1,0 +1,132 @@
+"""Sparse GCN path (SparseAdj: sorted COO + gather/segment-sum) vs the dense
+oracle.  The sparse path is the only representation that fits the
+reference's 2019-scale graph (95,299 figures — dense N² ≈ 36 GB,
+split_query.ipynb cell 10); it must agree with the dense path numerically.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from patent_tpu.models.gcn import (EnhancedVGAE, SparseAdj, adj_rowsum,
+                                   normalize_adjacency,
+                                   normalize_adjacency_sparse, spmm)
+
+
+@pytest.fixture(scope="module")
+def adj():
+    """Random sparse symmetric-ish adjacency with hub nodes (the patent
+    graph's degree skew: medium-CPC hubs with hundreds of edges)."""
+    rng = np.random.default_rng(11)
+    n = 400
+    rows = rng.integers(0, n, 1500)
+    cols = rng.integers(0, n, 1500)
+    hubs = rng.integers(0, 5, 300)          # 5 hub nodes, many edges
+    rows = np.concatenate([rows, hubs])
+    cols = np.concatenate([cols, rng.integers(0, n, 300)])
+    a = sp.coo_matrix((np.ones(len(rows), np.float32), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    a.data[:] = 1.0                          # dedupe duplicates to binary
+    return a
+
+
+def test_normalize_sparse_matches_dense(adj):
+    """Self-loops + D^-1/2 A D^-1/2 + re-symmetrization: sparse == dense."""
+    dense = normalize_adjacency(jnp.asarray(adj.toarray(), jnp.float32))
+    sparse = normalize_adjacency_sparse(adj)
+    rec = np.zeros(adj.shape, np.float32)
+    rec[np.asarray(sparse.rows), np.asarray(sparse.cols)] = \
+        np.asarray(sparse.vals)
+    np.testing.assert_allclose(rec, np.asarray(dense), atol=1e-6)
+    # sorted-rows contract (segment_sum fast path)
+    r = np.asarray(sparse.rows)
+    assert (np.diff(r) >= 0).all()
+
+
+def test_spmm_and_rowsum_match_dense(adj):
+    sparse = normalize_adjacency_sparse(adj)
+    dense = normalize_adjacency(jnp.asarray(adj.toarray(), jnp.float32))
+    y = np.random.default_rng(0).standard_normal(
+        (adj.shape[0], 32)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(sparse, jnp.asarray(y))),
+                               np.asarray(dense @ y), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(adj_rowsum(sparse)),
+                               np.asarray(adj_rowsum(dense)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_enhanced_vgae_forward_sparse_matches_dense(adj):
+    """Full encoder forward (GCN chain + BN + residuals) agrees across the
+    two adjacency representations with shared params."""
+    n = adj.shape[0]
+    x = np.random.default_rng(1).standard_normal((n, 24)).astype(np.float32)
+    model = EnhancedVGAE(hidden_dim=32, latent_dim=16, num_layers=3)
+    dense = normalize_adjacency(jnp.asarray(adj.toarray(), jnp.float32))
+    sparse = normalize_adjacency_sparse(adj)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), dense)
+    z_dense = model.apply(variables, jnp.asarray(x), dense,
+                          deterministic=True)
+    z_sparse = model.apply(variables, jnp.asarray(x), sparse,
+                           deterministic=True)
+    np.testing.assert_allclose(np.asarray(z_sparse), np.asarray(z_dense),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_train_pair_classification_sparse(adj):
+    """The trainer accepts the ETL's scipy adjacency with cfg.adjacency
+    = 'sparse': loss decreases and the report schema is intact."""
+    from patent_tpu.train.train_gcn import train_pair_classification
+    from patent_tpu.utils.config import GCNTrainConfig
+    from patent_tpu.utils.logging import MetricsLogger
+
+    rng = np.random.default_rng(2)
+    n = adj.shape[0]
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    pairs = rng.integers(0, n, (300, 2)).astype(np.int32)
+    labels = rng.integers(0, 5, 300).astype(np.int32)
+    cfg = GCNTrainConfig(input_dim=24, hidden_dim=32, latent_dim=16,
+                         epochs=4, batch_size=64, learning_rate=1e-3,
+                         adjacency="sparse")
+    variables, history, report = train_pair_classification(
+        x, adj, pairs, labels, cfg, logger=MetricsLogger(print_every=0))
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert {"test_loss", "test_acc", "confusion_matrix",
+            "precision", "recall", "f1"} <= set(report)
+
+
+def test_export_embeddings_sparse_matches_dense(adj):
+    from patent_tpu.train.train_gcn import (export_graph_embeddings,
+                                            train_pair_classification)
+    from patent_tpu.utils.config import GCNTrainConfig
+    from patent_tpu.utils.logging import MetricsLogger
+
+    rng = np.random.default_rng(3)
+    n = adj.shape[0]
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    pairs = rng.integers(0, n, (100, 2)).astype(np.int32)
+    labels = rng.integers(0, 5, 100).astype(np.int32)
+    cfg = GCNTrainConfig(input_dim=24, hidden_dim=32, latent_dim=16,
+                         epochs=1, batch_size=64, adjacency="sparse")
+    variables, _h, _r = train_pair_classification(
+        x, adj, pairs, labels, cfg, logger=MetricsLogger(print_every=0))
+    fig_index = {f"f{i}": i for i in range(10)}
+    e_sp = export_graph_embeddings(variables, x, adj, 32, 16, 3, fig_index,
+                                   adjacency_mode="sparse")
+    e_de = export_graph_embeddings(variables, x, adj.toarray(), 32, 16, 3,
+                                   fig_index, adjacency_mode="dense")
+    for k in fig_index:
+        np.testing.assert_allclose(e_sp[k], e_de[k], rtol=5e-4, atol=5e-4)
+
+
+def test_prepare_adjacency_auto_policy(adj):
+    """auto: dense for small graphs / dense ndarray input; sparse for scipy
+    input above the 16k-node threshold."""
+    from patent_tpu.train.train_gcn import prepare_adjacency
+
+    small = prepare_adjacency(adj, "auto")
+    assert not isinstance(small, SparseAdj)          # 400 nodes → dense
+    big = sp.identity(20000, format="csr", dtype="float32")
+    out = prepare_adjacency(big, "auto")
+    assert isinstance(out, SparseAdj) and out.n == 20000
