@@ -237,6 +237,22 @@ def main(argv: list[str] | None = None) -> int:
         pairs = np.asarray(pair_data["pairs"], np.int32)
         labels = np.asarray(pair_data["labels"], np.int32) - 1
         cfg.input_dim = x.shape[1]
+        if args.model.upper() == "VGAE":
+            # unsupervised VGAE link prediction (reference models.py:881-903
+            # + auxiliary.py:36-58 as a reachable trainer; the reference CLI
+            # declares `train` but never handles it, SURVEY §2.3).  `auto`
+            # mode picks the sampled-edge objective above 16k nodes — the
+            # only form that exists at the 2019 graph scale.
+            from ..train.train_vgae import train_vgae_link_prediction
+
+            variables, _split, report = train_vgae_link_prediction(
+                x, graph.adjacency, hidden_dim=cfg.hidden_dim,
+                latent_dim=cfg.latent_dim,
+                epochs=args.epochs or 50,
+                learning_rate=args.learning_rate or 1e-2, logger=logger)
+            print(json.dumps({k: float(v) for k, v in report.items()},
+                             indent=2))
+            return 0
         from ..train.train_gcn import (export_graph_embeddings,
                                        train_pair_classification)
 

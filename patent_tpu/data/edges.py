@@ -80,6 +80,23 @@ def link_prediction_scores(a_reconstructed: np.ndarray, edges: np.ndarray,
     """ROC-AUC + AP of reconstructed edge probabilities vs held-out edges."""
     pos = a_reconstructed[edges[:, 0], edges[:, 1]]
     neg = a_reconstructed[non_edges[:, 0], non_edges[:, 1]]
+    return _pos_neg_metrics(pos, neg)
+
+
+def link_prediction_scores_from_z(z: np.ndarray, edges: np.ndarray,
+                                  non_edges: np.ndarray) -> dict:
+    """Same metrics computed from latents directly — scores only the E
+    held-out pairs (sigmoid(z_i·z_j)), never the [N, N] reconstruction, so
+    evaluation scales with the big-graph sampled-edge VGAE trainer."""
+    z = np.asarray(z, np.float32)
+
+    def pair_scores(p):
+        return 1.0 / (1.0 + np.exp(-np.sum(z[p[:, 0]] * z[p[:, 1]], axis=1)))
+
+    return _pos_neg_metrics(pair_scores(edges), pair_scores(non_edges))
+
+
+def _pos_neg_metrics(pos: np.ndarray, neg: np.ndarray) -> dict:
     scores = np.concatenate([pos, neg])
     labels = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
     order = np.argsort(-scores, kind="stable")

@@ -196,14 +196,24 @@ class VGAE(nn.Module):
     latent_dim: int
     num_layers: int = 3
 
-    @nn.compact
-    def __call__(self, x: jax.Array, a_tilde: jax.Array,
+    def setup(self):
+        self.encoder = ResidualGCNEncoder(self.hidden_dim, self.latent_dim,
+                                          self.num_layers, name="encoder")
+
+    def __call__(self, x: jax.Array, a_tilde,
                  *, deterministic: bool = True) -> tuple[jax.Array, jax.Array]:
-        z = ResidualGCNEncoder(self.hidden_dim, self.latent_dim, self.num_layers,
-                               name="encoder")(x, a_tilde, deterministic=deterministic)
-        z = z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
+        z = self.encode(x, a_tilde, deterministic=deterministic)
         a_rec = jax.nn.sigmoid(jnp.dot(z, z.T))
         return z, a_rec
+
+    def encode(self, x: jax.Array, a_tilde,
+               *, deterministic: bool = True) -> jax.Array:
+        """Latents only — no [N, N] reconstruction tensor.  The sampled-edge
+        trainer (train_vgae mode='sampled') scores individual pairs from z,
+        which is what makes VGAE training possible at the 2019 graph scale
+        (sigmoid(Z Zᵀ) at 108k nodes is a 47 GB tensor)."""
+        z = self.encoder(x, a_tilde, deterministic=deterministic)
+        return z / jnp.maximum(jnp.linalg.norm(z, axis=1, keepdims=True), 1e-12)
 
 
 class EnhancedVGAE(nn.Module):
