@@ -291,7 +291,8 @@ def bench_topk_poincare_fused(n_gallery: int = 1_000_000, dim: int = 512,
                               n_queries: int = 256, k: int = 10
                               ) -> tuple[float, list[float], float]:
     """Fused Poincaré candidate kernel + exact device re-rank at 1M scale
-    (the hyperbolic head's serving path, ops/topk_kernel.bucket_topk_poincare):
+    (the hyperbolic head's serving path, ops/topk_kernel.bucket_topk_poincare,
+    int8 gallery + dequant-folded affine rows):
     returns (QPS, spread, top-10 agreement vs the exact blockwise search)."""
     import jax
     import jax.numpy as jnp
@@ -304,19 +305,19 @@ def bench_topk_poincare_fused(n_gallery: int = 1_000_000, dim: int = 512,
 
     gallery, queries = _device_gallery(n_gallery, dim, n_queries,
                                        poincare=True)
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, 1.0)
-    gal_bf16.block_until_ready()
+    gal = prepare_poincare_gallery(gallery, 1.0)
+    gal.gal_i8.block_until_ready()
     pool = POINCARE_RERANK_MULT * k
     sum_jit = jax.jit(jnp.sum)
 
     def search():
-        _pv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool)
+        _pv, pidx = bucket_topk_poincare(queries, gal, pool)
         return _poincare_rerank_device(pidx, queries, gallery, k, 1.0)[0]
 
     float(sum_jit(search()))                          # compile + warm
     qps, spread = _timed_spread(search, lambda v: float(sum_jit(v)),
                                 n_queries)
-    _fv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool)
+    _fv, pidx = bucket_topk_poincare(queries, gal, pool)
     _rv, idx_f = _poincare_rerank_device(pidx, queries, gallery, k, 1.0)
     _ev, idx_e = topk_search(queries, gallery, k=k, similarity="poincare",
                              block_size=131072)

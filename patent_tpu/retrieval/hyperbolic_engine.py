@@ -41,7 +41,7 @@ class HyperbolicRetrievalEngine:
         affine rows and searches run the fused Poincaré candidate kernel
         with an exact f64 re-rank (ops/topk_kernel.bucket_topk_poincare) —
         measured multiples of the exact scan's QPS at 1M scale (bench
-        ``topk_qps_1M_poincare_fused``) at half the HBM."""
+        ``topk_qps_1M_poincare_fused``) at a quarter of the f32 HBM."""
         self.model = model
         self.params = params
         self.c = model.c

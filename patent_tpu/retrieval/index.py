@@ -31,9 +31,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import poincare
-from ..ops.topk_kernel import (bucket_topk_int8, bucket_topk_poincare,
-                               bucket_topk_supported,
-                               prepare_poincare_gallery)
+from ..ops.topk_kernel import (PoincareGallery, bucket_topk_int8,
+                               bucket_topk_poincare, bucket_topk_supported,
+                               prepare_poincare_gallery,
+                               quantize_poincare_queries)
 
 Similarity = Literal["cosine", "dot", "poincare"]
 
@@ -310,32 +311,31 @@ def _poincare_dist_np(u: np.ndarray, v: np.ndarray, c: float) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "block_size"))
-def _poincare_pool_scan(queries: jax.Array, gal_bf16: jax.Array,
-                        w: jax.Array, b: jax.Array, pool: int,
+def _poincare_pool_scan(queries: jax.Array, gal: PoincareGallery, pool: int,
                         block_size: int = 8192
                         ) -> tuple[jax.Array, jax.Array]:
     """XLA scan twin of the fused Poincaré candidate kernel (CPU fallback +
-    correctness oracle): same operands, same bf16-dot/f32-affine surrogate
-    math, ``approx_max_k`` per block like the int8 scan stage."""
-    qf = jnp.asarray(queries, jnp.float32)
-    q_sq = jnp.sum(jnp.square(qf), axis=-1, keepdims=True)
-    q_bf16 = qf.astype(jnp.bfloat16)
-    n = gal_bf16.shape[0]
-    n_queries = qf.shape[0]
+    correctness oracle): same int8 operands, same dequant-folded surrogate
+    math, ``approx_max_k`` per block like the int8 cosine scan stage."""
+    q_i8, qs, q_sq = quantize_poincare_queries(queries)
+    n = gal.gal_i8.shape[0]
+    n_queries = q_i8.shape[0]
     n_blocks = -(-n // block_size)
     padded = n_blocks * block_size
-    gal = jnp.pad(gal_bf16, ((0, padded - n), (0, 0)))
-    gal = gal.reshape(n_blocks, block_size, -1)
-    ws = jnp.pad(w, (0, padded - n)).reshape(n_blocks, block_size)
-    bs = jnp.pad(b, (0, padded - n)).reshape(n_blocks, block_size)
+    gal_b = jnp.pad(gal.gal_i8, ((0, padded - n), (0, 0)))
+    gal_b = gal_b.reshape(n_blocks, block_size, -1)
+    gw2s = jnp.pad(gal.gw2, (0, padded - n)).reshape(n_blocks, block_size)
+    ws = jnp.pad(gal.w, (0, padded - n)).reshape(n_blocks, block_size)
+    bs = jnp.pad(gal.b, (0, padded - n)).reshape(n_blocks, block_size)
 
     def body(carry, inp):
         best_vals, best_idx = carry
-        block, w_, b_, block_i = inp
+        block, gw2_, w_, b_, block_i = inp
         acc = jax.lax.dot_general(
-            q_bf16, block, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Q, B]
-        s = (2.0 * acc - q_sq) * w_[None, :] - b_[None, :]
+            q_i8, block, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)                # [Q, B]
+        s = (qs * (acc.astype(jnp.float32) * gw2_[None, :])
+             - q_sq * w_[None, :] - b_[None, :])
         s = jnp.where(w_[None, :] > 0.0, s, -jnp.inf)
         bvals, bpos = jax.lax.approx_max_k(s, pool, recall_target=0.99)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
@@ -349,26 +349,26 @@ def _poincare_pool_scan(queries: jax.Array, gal_bf16: jax.Array,
     init = (jnp.full((n_queries, pool), -jnp.inf, jnp.float32),
             jnp.zeros((n_queries, pool), jnp.int32))
     (vals, idx), _ = jax.lax.scan(body, init,
-                                  (gal, ws, bs, jnp.arange(n_blocks)))
+                                  (gal_b, gw2s, ws, bs,
+                                   jnp.arange(n_blocks)))
     return vals, idx
 
 
-def _poincare_pool(queries: jax.Array, gal_bf16: jax.Array, w: jax.Array,
-                   b: jax.Array, pool: int, block_size: int
-                   ) -> tuple[jax.Array, jax.Array]:
+def _poincare_pool(queries: jax.Array, gal: PoincareGallery, pool: int,
+                   block_size: int) -> tuple[jax.Array, jax.Array]:
     """Candidate-stage dispatch: fused kernel on TPU (or ``=force``
     interpret), XLA scan everywhere else — surrogate-scale values either
     way, so per-shard pools merge consistently."""
     mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
     if (mode != "0"
-            and bucket_topk_supported(gal_bf16.shape[0], pool,
+            and bucket_topk_supported(gal.gal_i8.shape[0], pool,
                                       _FUSED_BUCKETS, _FUSED_ROWS)
             and (_on_tpu() or mode == "force")):
-        return bucket_topk_poincare(queries, gal_bf16, w, b, pool,
+        return bucket_topk_poincare(queries, gal, pool,
                                     buckets=_FUSED_BUCKETS,
                                     rows=_FUSED_ROWS,
                                     interpret=not _on_tpu())
-    return _poincare_pool_scan(queries, gal_bf16, w, b, pool, block_size)
+    return _poincare_pool_scan(queries, gal, pool, block_size)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "c"))
@@ -391,30 +391,31 @@ def _poincare_rerank_device(pidx: jax.Array, queries: jax.Array,
 POINCARE_RERANK_MULT = DEFAULT_RERANK_MULT
 
 
-def topk_search_poincare_fast(queries, gal_bf16: jax.Array, w: jax.Array,
-                              b: jax.Array, gallery_f32, k: int = 10,
-                              c: float = 1.0, block_size: int = 8192,
+def topk_search_poincare_fast(queries, gal: PoincareGallery, gallery_f32,
+                              k: int = 10, c: float = 1.0,
+                              block_size: int = 8192,
                               rerank_mult: int = POINCARE_RERANK_MULT
                               ) -> tuple[np.ndarray, np.ndarray]:
-    """Poincaré top-k: fused bf16 candidate stage + EXACT distance re-rank.
+    """Poincaré top-k: fused int8 candidate stage + EXACT distance re-rank.
 
-    (gal_bf16, w, b) come from ``ops.topk_kernel.prepare_poincare_gallery``;
+    ``gal`` comes from ``ops.topk_kernel.prepare_poincare_gallery``;
     ``gallery_f32`` is the full-precision gallery used only for the
     ``rerank_mult·k``-row re-rank — pass a device ``jax.Array`` to re-rank
     on-chip (serving: the gallery is resident anyway) or a host ``ndarray``
     to re-rank in f64 on host (the memory-lean index: device holds only the
-    bf16 copy).  Values returned are −distance (the ``topk_search``
-    poincaré convention).  Off-TPU (or with ``PATENT_TPU_FUSED_TOPK=0``)
-    the candidate stage runs as an XLA scan over the same operands
-    (``_poincare_pool_scan``) — same rerank, scan speed; ``=force`` runs
-    the kernel in interpret mode (test coverage).
+    int8 copy — a QUARTER of the f32 bytes).  Values returned are −distance
+    (the ``topk_search`` poincaré convention).  Off-TPU (or with
+    ``PATENT_TPU_FUSED_TOPK=0``) the candidate stage runs as an XLA scan
+    over the same int8 operands (``_poincare_pool_scan``) — same rerank,
+    scan speed; ``=force`` runs the kernel in interpret mode (test
+    coverage).
 
     Unlike the scan surrogate path, the re-rank here uses the
     cancellation-free direct distance on the pool, so near-boundary
     orderings are MORE accurate than ``topk_search``'s surrogate ordering
     (see ops/topk_kernel.py Poincaré note)."""
     q = jnp.asarray(queries, jnp.float32)
-    n = gal_bf16.shape[0]
+    n = gal.gal_i8.shape[0]
     pool = min(max(k * rerank_mult, k), n)
     if pool >= n:
         # full-gallery ranking (the offline evaluate path): nothing to
@@ -424,7 +425,7 @@ def topk_search_poincare_fast(queries, gal_bf16: jax.Array, w: jax.Array,
                                 similarity="poincare",
                                 block_size=block_size, c=c)
         return np.asarray(vals), np.asarray(idx)
-    _pv, pidx = _poincare_pool(q, gal_bf16, w, b, pool, block_size)
+    _pv, pidx = _poincare_pool(q, gal, pool, block_size)
     if isinstance(gallery_f32, jax.Array):
         vals, idx = _poincare_rerank_device(pidx, q, gallery_f32, k, c)
         return np.asarray(vals), np.asarray(idx)
@@ -485,36 +486,38 @@ def sharded_topk_search_quantized(mesh: Mesh, queries,
 
 
 def sharded_topk_search_poincare_fast(mesh: Mesh, queries,
-                                      gal_bf16: jax.Array, w: jax.Array,
-                                      b: jax.Array, gallery_f32: np.ndarray,
+                                      gal: PoincareGallery,
+                                      gallery_f32: np.ndarray,
                                       k: int = 10, c: float = 1.0,
                                       block_size: int = 8192,
                                       rerank_mult: int = POINCARE_RERANK_MULT,
                                       axis: str = "data"
                                       ) -> tuple[np.ndarray, np.ndarray]:
-    """Fast Poincaré search with the bf16 gallery row-sharded over
-    ``mesh[axis]`` (2× the ball vectors per chip at pod scale).  Each shard
+    """Fast Poincaré search with the int8 gallery row-sharded over
+    ``mesh[axis]`` (4× the ball vectors per chip at pod scale).  Each shard
     runs the surrogate candidate stage over its rows (fused kernel on TPU,
-    XLA scan elsewhere — surrogate values are cross-shard comparable, same
-    formula and scale); one all_gather merges per-shard pools; the final
+    XLA scan elsewhere — surrogate values are cross-shard comparable: the
+    per-row dequant folds into gw2, so scores land on the same absolute
+    scale everywhere); one all_gather merges per-shard pools; the final
     exact ordering comes from the f64 host re-rank, exactly as in
     ``topk_search_poincare_fast``."""
     from jax import shard_map
 
     q = jnp.asarray(queries, jnp.float32)
-    n = gal_bf16.shape[0]
+    n = gal.gal_i8.shape[0]
     pool = min(max(k * rerank_mult, k), n)
     n_shards = mesh.shape[axis]
     per_shard = -(-n // n_shards)
     padded = per_shard * n_shards
-    gal_p = jnp.pad(gal_bf16, ((0, padded - n), (0, 0)))
-    w_p = jnp.pad(w, (0, padded - n))         # zeros mask padded rows
-    b_p = jnp.pad(b, (0, padded - n))
+    gal_p = PoincareGallery(
+        jnp.pad(gal.gal_i8, ((0, padded - n), (0, 0))),
+        jnp.pad(gal.gw2, (0, padded - n)),
+        jnp.pad(gal.w, (0, padded - n)),      # zeros mask padded rows
+        jnp.pad(gal.b, (0, padded - n)))
 
-    def shard_fn(qs, g, w_, b_):
+    def shard_fn(qs, g):
         shard_i = jax.lax.axis_index(axis)
-        vals, idx = _poincare_pool(qs, g, w_, b_, min(pool, per_shard),
-                                   block_size)
+        vals, idx = _poincare_pool(qs, g, min(pool, per_shard), block_size)
         idx = idx + shard_i * per_shard
         vals = jnp.where(idx < n, vals, -jnp.inf)
         all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
@@ -523,9 +526,9 @@ def sharded_topk_search_poincare_fast(mesh: Mesh, queries,
         return mvals, jnp.take_along_axis(all_idx, pos, axis=1)
 
     fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(P(), P(axis), P(axis), P(axis)),
+                   in_specs=(P(), P(axis)),
                    out_specs=(P(), P()), check_vma=False)
-    _pv, pidx = fn(q, gal_p, w_p, b_p)
+    _pv, pidx = fn(q, gal_p)
     pidx = np.asarray(pidx)
     d = _poincare_dist_np(np.asarray(q), np.asarray(gallery_f32)[pidx], c)
     order = np.argsort(d, axis=1, kind="stable")[:, :k]
@@ -585,9 +588,9 @@ class EmbeddingIndex:
                  similarity: Similarity = "cosine", c: float = 1.0,
                  mesh: Mesh | None = None, axis: str = "data",
                  quantized: bool = False):
-        """``quantized=True``: the device-resident gallery is compressed —
-        per-row int8 for cosine (4× the vectors per chip, 4× less HBM read
-        per search), bf16 + f32 affine rows for poincaré (2×) — and searches
+        """``quantized=True``: the device-resident gallery is per-row int8
+        for BOTH similarities (4× the vectors per chip, 4× less HBM read
+        per search; poincaré adds three f32 affine rows) — and searches
         over-fetch fused-kernel candidates then re-rank them exactly
         host-side (topk_search_quantized / topk_search_poincare_fast).  The
         f32 copy stays host-side for re-ranking and persistence."""
@@ -609,12 +612,11 @@ class EmbeddingIndex:
                 self.embeddings = self._emb_np  # host f32 (rerank + save)
                 return
             if similarity == "poincare":
-                # device holds a bf16 gallery + f32 per-row affine terms
-                # (half the HBM of f32); searches run the fused surrogate
-                # candidate kernel + exact f64 host re-rank of the pool
+                # device holds an int8 gallery + f32 per-row affine terms
+                # (a quarter of the f32 HBM); searches run the fused
+                # surrogate candidate kernel + exact f64 host re-rank
                 self._emb_np = np.asarray(embeddings, np.float32)
-                self.emb_bf16, self.emb_w, self.emb_b = \
-                    prepare_poincare_gallery(self._emb_np, c)
+                self.emb_gal = prepare_poincare_gallery(self._emb_np, c)
                 self.embeddings = self._emb_np
                 return
             raise ValueError(
@@ -639,13 +641,12 @@ class EmbeddingIndex:
                 if (self.mesh is not None
                         and k * POINCARE_RERANK_MULT < len(self.names)):
                     vals, idx = sharded_topk_search_poincare_fast(
-                        self.mesh, q, self.emb_bf16, self.emb_w,
-                        self.emb_b, self._emb_np, k=k, c=self.c,
-                        block_size=block_size, axis=self.axis)
+                        self.mesh, q, self.emb_gal, self._emb_np, k=k,
+                        c=self.c, block_size=block_size, axis=self.axis)
                 else:
                     vals, idx = topk_search_poincare_fast(
-                        q, self.emb_bf16, self.emb_w, self.emb_b,
-                        self._emb_np, k=k, c=self.c, block_size=block_size)
+                        q, self.emb_gal, self._emb_np, k=k, c=self.c,
+                        block_size=block_size)
                 return np.asarray(vals), np.asarray(idx)
             if (self.mesh is not None
                     and k * DEFAULT_RERANK_MULT < len(self.names)):

@@ -358,17 +358,19 @@ def _poincare_brute_f64(q, g, c, k):
 
 @pytest.mark.parametrize("c", [1.0, 2.0])
 def test_bucket_topk_poincare_pool_contains_exact(c):
-    """Fused Poincaré surrogate kernel (interpret): every exact (f64)
-    top-10 member survives into the pool across a multi-step grid."""
+    """Fused Poincaré surrogate kernel (interpret, int8 gallery): every
+    exact (f64) top-10 member survives into the pool across a multi-step
+    grid — per-row int8 quantization noise must not evict true
+    neighbors at pool depth 80."""
     from patent_tpu.ops.topk_kernel import (bucket_topk_poincare,
                                             prepare_poincare_gallery)
 
     rng = np.random.default_rng(23)
     gallery = _random_ball(rng, 3000, 64, c)
     queries = _random_ball(rng, 9, 64, c)
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
-    vals, idx = bucket_topk_poincare(jnp.asarray(queries), gal_bf16, w, b,
-                                     pool := 80, buckets=256, rows=512,
+    gal = prepare_poincare_gallery(gallery, c)
+    vals, idx = bucket_topk_poincare(jnp.asarray(queries), gal,
+                                     80, buckets=256, rows=512,
                                      interpret=True)
     idx = np.asarray(idx)
     assert np.isfinite(np.asarray(vals)).all()
@@ -389,10 +391,9 @@ def test_poincare_fast_matches_f64_brute_force(monkeypatch):
     rng = np.random.default_rng(5)
     gallery = _random_ball(rng, 1500, 32, c)
     queries = _random_ball(rng, 7, 32, c)
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    gal = prepare_poincare_gallery(gallery, c)
     monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
-    vals, idx = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
-                                          k=10, c=c)
+    vals, idx = topk_search_poincare_fast(queries, gal, gallery, k=10, c=c)
     bd, bi = _poincare_brute_f64(queries, gallery, c, 10)
     np.testing.assert_array_equal(idx, bi)
     np.testing.assert_allclose(vals, -bd, rtol=2e-5, atol=1e-5)
@@ -416,9 +417,9 @@ def test_poincare_fast_near_boundary(monkeypatch):
     radii = rng.uniform(0.99, 0.9995, (800, 1)) / np.sqrt(c)
     gallery = (dirs * radii).astype(np.float32)
     queries = gallery[:5] * 0.999            # queries just inside neighbors
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    gal = prepare_poincare_gallery(gallery, c)
     monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
-    vals, idx = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+    vals, idx = topk_search_poincare_fast(queries, gal, gallery,
                                           k=5, c=c, rerank_mult=16)
     _bd, bi = _poincare_brute_f64(queries, gallery, c, 5)
     # membership (not order) for the full k, exact order for the top-1:
@@ -457,9 +458,9 @@ def test_poincare_fast_fallback_off_tpu(monkeypatch):
     rng = np.random.default_rng(3)
     gallery = _random_ball(rng, 300, 16, c, r_frac_max=0.7)
     queries = _random_ball(rng, 4, 16, c, r_frac_max=0.7)
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    gal = prepare_poincare_gallery(gallery, c)
     monkeypatch.delenv("PATENT_TPU_FUSED_TOPK", raising=False)
-    fv, fi = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+    fv, fi = topk_search_poincare_fast(queries, gal, gallery,
                                        k=6, c=c, block_size=64)
     ev, ei = topk_search(jnp.asarray(queries), jnp.asarray(gallery), k=6,
                          similarity="poincare", block_size=64, c=c)
@@ -479,13 +480,12 @@ def test_sharded_poincare_fast_matches_single(eight_devices, monkeypatch):
     rng = np.random.default_rng(17)
     gallery = _random_ball(rng, 301, 16, c, r_frac_max=0.85)  # 301 % 8 != 0
     queries = _random_ball(rng, 6, 16, c, r_frac_max=0.85)
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
+    gal = prepare_poincare_gallery(gallery, c)
     mesh = Mesh(np.array(eight_devices), ("data",))
     monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
-    sv, si = sharded_topk_search_poincare_fast(mesh, queries, gal_bf16, w, b,
-                                               gallery, k=5, c=c,
-                                               block_size=64)
-    fv, fi = topk_search_poincare_fast(queries, gal_bf16, w, b, gallery,
+    sv, si = sharded_topk_search_poincare_fast(mesh, queries, gal, gallery,
+                                               k=5, c=c, block_size=64)
+    fv, fi = topk_search_poincare_fast(queries, gal, gallery,
                                        k=5, c=c, block_size=64)
     np.testing.assert_array_equal(si, fi)
     np.testing.assert_allclose(sv, fv, atol=1e-6)

@@ -4,17 +4,19 @@ re-rank vs the exact blockwise surrogate scan (retrieval/index.topk_search
 similarity="poincare") at serving scale (1M×512 ball gallery, 256 queries).
 
 The scan materializes the [Q, block] f32 surrogate tile to HBM and
-full-sorts it with ``lax.top_k`` per block; the fused path streams a bf16
-gallery (half the bytes) through VMEM-resident per-bucket top-2
-accumulators, then exact-re-ranks the 80-candidate pool with the
-cancellation-free direct distance (ops/poincare.dist) on device.
+full-sorts it with ``lax.top_k`` per block; the fused path streams an int8
+gallery (a QUARTER of the f32 bytes, and the dot runs on the int8 MXU at
+2× the bf16 rate) through VMEM-resident per-bucket top-2 accumulators,
+then exact-re-ranks the 80-candidate pool with the cancellation-free
+direct distance (ops/poincare.dist) on device.
 
 Prints one JSON line: QPS per variant (median of 3) and the fused path's
 top-10 agreement against the exact search.  Measured (v5e, warm):
-fused 25.9k QPS vs scan 8.4k (3.09x) at pool=80, agreement 0.99961;
-pool=160 left agreement EXACTLY unchanged while halving QPS (14.1k) -
-the residual misses are bf16-score/bucket candidate losses, not
-pool-boundary ones, so deeper pools buy nothing.
+int8 fused 51.7k QPS vs scan 8.4k (6.2×) at pool=80, agreement 0.99961 —
+IDENTICAL to the earlier bf16 kernel variant's agreement (25.9k QPS):
+the residual misses are bucket-fold candidate losses, not quantization;
+per-row int8 noise evicted no true neighbor.  pool=160 left agreement
+EXACTLY unchanged while halving QPS — deeper pools buy nothing.
 """
 from __future__ import annotations
 
@@ -57,14 +59,14 @@ def main() -> None:
 
     gallery, queries = gen(jax.random.key(0))
     gallery.block_until_ready()
-    gal_bf16, w, b = prepare_poincare_gallery(gallery, c)
-    gal_bf16.block_until_ready()
+    gal = prepare_poincare_gallery(gallery, c)
+    gal.gal_i8.block_until_ready()
     sum_jit = jax.jit(jnp.sum)
     out = {"shape": f"{n}x{dim}, Q={nq}, pool={pool}, c={c}",
            "rows": rows, "buckets": buckets}
 
     def fused():
-        _pv, pidx = bucket_topk_poincare(queries, gal_bf16, w, b, pool,
+        _pv, pidx = bucket_topk_poincare(queries, gal, pool,
                                          buckets=buckets, rows=rows)
         return _poincare_rerank_device(pidx, queries, gallery, k, c)[0]
 
@@ -84,7 +86,7 @@ def main() -> None:
         out[f"{name}_qps"] = round(qps, 1)
         out[f"{name}_spread"] = [round(v, 1) for v in spread]
 
-    _fv, idx_fused = bucket_topk_poincare(queries, gal_bf16, w, b, pool,
+    _fv, idx_fused = bucket_topk_poincare(queries, gal, pool,
                                           buckets=buckets, rows=rows)
     _rv, idx_r = _poincare_rerank_device(idx_fused, queries, gallery, k, c)
     idx_r = np.asarray(idx_r)
