@@ -37,8 +37,8 @@ class HyperbolicRetrievalEngine:
     def __init__(self, model: HyperbolicEmbeddingModel, params: dict,
                  features: np.ndarray, names: Sequence[str],
                  batch_size: int = 512, mesh=None, quantized: bool = False):
-        """``quantized=True``: the gallery lives on device as bf16 + f32
-        affine rows and searches run the fused Poincaré candidate kernel
+        """``quantized=True``: the gallery lives on device as per-row int8
+        + f32 affine rows and searches run the fused Poincaré candidate kernel
         with an exact f64 re-rank (ops/topk_kernel.bucket_topk_poincare) —
         measured multiples of the exact scan's QPS at 1M scale (bench
         ``topk_qps_1M_poincare_fused``) at a quarter of the f32 HBM."""
