@@ -92,47 +92,84 @@ def train_pair_classification(x: np.ndarray, adjacency,
     pairs_j = jnp.asarray(pairs, jnp.int32)
     labels_j = jnp.asarray(labels, jnp.int32)
 
-    # big arrays (features, adjacency, pair tables) are jit ARGUMENTS so they
-    # are never baked into the HLO as constants (compile-payload limits)
+    def _epoch_batches(idx_pool: np.ndarray, shuffle: bool
+                       ) -> tuple[jax.Array, jax.Array]:
+        """Fixed-shape [n_steps, B] index matrix + {0, 1} weight matrix.
+        The ragged tail is padded by repeating leading indices with weight
+        0, so every batch keeps the jit shape and padded rows contribute
+        nothing to losses/metrics."""
+        perm = rng.permutation(idx_pool) if shuffle else np.asarray(idx_pool)
+        n_steps = max(1, -(-len(perm) // cfg.batch_size))
+        pad = n_steps * cfg.batch_size - len(perm)
+        wt = np.ones(len(perm), np.float32)
+        if pad:
+            perm = np.concatenate([perm, perm[:1].repeat(pad)])
+            wt = np.concatenate([wt, np.zeros(pad, np.float32)])
+        return (jnp.asarray(perm.reshape(n_steps, cfg.batch_size), jnp.int32),
+                jnp.asarray(wt.reshape(n_steps, cfg.batch_size)))
+
+    # ONE device dispatch per epoch: the whole batch loop is a lax.scan
+    # under jit.  Per-step dispatch is what dominated wall time at the
+    # 2019 graph scale — the full-graph fwd+bwd is ~27 ms of device work,
+    # but each host round trip through a tunneled chip costs ~10× that
+    # (same pathology train_hyp's epoch scan eliminated).  Big arrays
+    # (features, adjacency, pair tables) are jit ARGUMENTS so they are
+    # never baked into the HLO as constants (compile-payload limits).
     @jax.jit
-    def train_step(params, batch_stats, opt_state, idx, key,
-                   x_dev, a_tilde, pairs_j, labels_j):
-        def loss_fn(p):
-            logits, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                x_dev, a_tilde, pairs_j[idx], deterministic=False,
-                method=EnhancedVGAE.encode_and_classify,
-                mutable=["batch_stats"], rngs={"dropout": key})
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels_j[idx]).mean()
-            acc = jnp.mean(jnp.argmax(logits, -1) == labels_j[idx])
-            return loss, (mut["batch_stats"], acc)
-        (loss, (bstats, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), bstats, opt_state,
-                loss, acc)
+    def train_epoch(params, batch_stats, opt_state, key, x_dev, a_tilde,
+                    pairs_j, labels_j, idx_mat, wt_mat):
+        def body(carry, inp):
+            params, batch_stats, opt_state, key = carry
+            idx, wt = inp
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                logits, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x_dev, a_tilde, pairs_j[idx], deterministic=False,
+                    method=EnhancedVGAE.encode_and_classify,
+                    mutable=["batch_stats"], rngs={"dropout": sub})
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels_j[idx])
+                loss = jnp.sum(ce * wt) / jnp.maximum(jnp.sum(wt), 1.0)
+                return loss, mut["batch_stats"]
+
+            (loss, bstats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, bstats, opt_state, key), loss
+
+        (params, batch_stats, opt_state, _), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), (idx_mat, wt_mat))
+        return params, batch_stats, opt_state, jnp.mean(losses)
 
     @jax.jit
-    def eval_logits(params, batch_stats, idx, x_dev, a_tilde, pairs_j):
-        return model.apply({"params": params, "batch_stats": batch_stats},
-                           x_dev, a_tilde, pairs_j[idx], deterministic=True,
-                           method=EnhancedVGAE.encode_and_classify)
+    def eval_epoch(params, batch_stats, x_dev, a_tilde, pairs_j, labels_j,
+                   idx_mat, wt_mat):
+        def body(_, inp):
+            idx, wt = inp
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x_dev, a_tilde, pairs_j[idx], deterministic=True,
+                method=EnhancedVGAE.encode_and_classify)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels_j[idx])
+            loss = jnp.sum(ce * wt) / jnp.maximum(jnp.sum(wt), 1.0)
+            return None, (loss, jnp.argmax(logits, -1))
+
+        _, (losses, preds) = jax.lax.scan(body, None, (idx_mat, wt_mat))
+        return jnp.mean(losses), preds
 
     def evaluate(params, batch_stats, idx_pool) -> tuple[float, float, np.ndarray]:
-        losses, preds, trues = [], [], []
-        for s in range(0, len(idx_pool), cfg.batch_size):
-            idx = jnp.asarray(idx_pool[s:s + cfg.batch_size], jnp.int32)
-            logits = eval_logits(params, batch_stats, idx, x_dev, a_tilde,
-                                 pairs_j)
-            l = optax.softmax_cross_entropy_with_integer_labels(
-                logits, labels_j[idx]).mean()
-            losses.append(float(l))
-            preds.append(np.argmax(np.asarray(logits), -1))
-            trues.append(np.asarray(labels_j[idx]))
-        preds_all = np.concatenate(preds)
-        trues_all = np.concatenate(trues)
-        return (float(np.mean(losses)), float((preds_all == trues_all).mean()),
+        idx_mat, wt_mat = _epoch_batches(idx_pool, shuffle=False)
+        loss, preds = eval_epoch(params, batch_stats, x_dev, a_tilde,
+                                 pairs_j, labels_j, idx_mat, wt_mat)
+        valid = np.asarray(wt_mat).reshape(-1) > 0.0
+        preds_all = np.asarray(preds).reshape(-1)[valid]
+        trues_all = np.asarray(labels_j)[
+            np.asarray(idx_mat).reshape(-1)[valid]]
+        return (float(loss), float((preds_all == trues_all).mean()),
                 confusion_counts(trues_all, preds_all, 5))
 
     params, batch_stats = variables["params"], variables["batch_stats"]
@@ -142,25 +179,18 @@ def train_pair_classification(x: np.ndarray, adjacency,
     history: dict[str, list] = {"train_loss": [], "val_loss": [], "val_acc": []}
     step = 0
     for epoch in range(1, cfg.epochs + 1):
-        ep_perm = rng.permutation(tr)
-        loss_acc, nb = None, 0
-        for s in range(0, len(ep_perm), cfg.batch_size):
-            idx = jnp.asarray(ep_perm[s:s + cfg.batch_size], jnp.int32)
-            key, sub = jax.random.split(key)
-            params, batch_stats, opt_state, loss, acc = train_step(
-                params, batch_stats, opt_state, idx, sub,
-                x_dev, a_tilde, pairs_j, labels_j)
-            # device-side accumulation: per-step float() fetches round-trip
-            # the device link (see train_hyp)
-            loss_acc = loss if loss_acc is None else loss_acc + loss
-            nb += 1
-            step += 1
-        tot = float(loss_acc) if nb else 0.0
+        idx_mat, wt_mat = _epoch_batches(tr, shuffle=True)
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, mean_loss = train_epoch(
+            params, batch_stats, opt_state, sub, x_dev, a_tilde,
+            pairs_j, labels_j, idx_mat, wt_mat)
+        step += int(idx_mat.shape[0])
+        tot = float(mean_loss)
         val_loss, val_acc, _ = evaluate(params, batch_stats, va)
-        history["train_loss"].append(tot / max(nb, 1))
+        history["train_loss"].append(tot)
         history["val_loss"].append(val_loss)
         history["val_acc"].append(val_acc)
-        logger.log(step, {"epoch": epoch, "train_loss": tot / max(nb, 1),
+        logger.log(step, {"epoch": epoch, "train_loss": tot,
                           "val_loss": val_loss, "val_acc": val_acc},
                    force_print=True)
         if val_loss < best_val:
