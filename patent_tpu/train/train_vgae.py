@@ -9,13 +9,14 @@ validate with link-prediction ROC-AUC/AP on held-out edges.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.edges import (EdgeSplit, link_prediction_scores,
-                          link_prediction_scores_from_z, split_edges)
+from ..data.edges import EdgeSplit, link_prediction_scores, split_edges
 from ..models.gcn import VGAE, normalize_adjacency, normalize_adjacency_sparse
 from ..utils.logging import MetricsLogger
 
@@ -134,28 +135,39 @@ def _train_vgae_sampled(x: np.ndarray, split: EdgeSplit, hidden_dim: int,
     optimizer = optax.adam(learning_rate)
     opt_state = optimizer.init(variables["params"])
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, key, x_dev, a_tilde,
-             train_edges):
-        neg = jax.random.randint(key, train_edges.shape, 0, n)
+    # a chunk of steps is ONE lax.scan dispatch (the eval cadence, 5):
+    # each full-graph fwd+bwd is tens of ms of device work, but one host
+    # dispatch through a tunneled chip costs ~10× that (same fix as
+    # train_gcn / train_hyp's epoch scans)
+    @functools.partial(jax.jit, static_argnames=("n_steps",))
+    def step_chunk(params, batch_stats, opt_state, key, x_dev, a_tilde,
+                   train_edges, n_steps: int):
+        def body(carry, _):
+            params, batch_stats, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            neg = jax.random.randint(sub, train_edges.shape, 0, n)
 
-        def loss_fn(p):
-            z, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x_dev, a_tilde,
-                deterministic=False, method=VGAE.encode,
-                mutable=["batch_stats"])
-            def logits(pairs):
-                return jnp.sum(z[pairs[:, 0]] * z[pairs[:, 1]], axis=1)
-            pos_l = logits(train_edges)
-            neg_l = logits(neg)
-            bce = (jnp.mean(jax.nn.softplus(-pos_l))
-                   + jnp.mean(jax.nn.softplus(neg_l))) * 0.5
-            return bce, mut["batch_stats"]
+            def loss_fn(p):
+                z, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x_dev,
+                    a_tilde, deterministic=False, method=VGAE.encode,
+                    mutable=["batch_stats"])
+                def logits(pairs):
+                    return jnp.sum(z[pairs[:, 0]] * z[pairs[:, 1]], axis=1)
+                bce = (jnp.mean(jax.nn.softplus(-logits(train_edges)))
+                       + jnp.mean(jax.nn.softplus(logits(neg)))) * 0.5
+                return bce, mut["batch_stats"]
 
-        (loss, bstats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), bstats, opt_state, loss
+            (loss, bstats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, bstats, opt_state, key), loss
+
+        (params, batch_stats, opt_state, key), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state, key), None,
+            length=n_steps)
+        return params, batch_stats, opt_state, key, losses[-1]
 
     @jax.jit
     def encode(params, batch_stats, x_dev, a_tilde):
@@ -163,17 +175,37 @@ def _train_vgae_sampled(x: np.ndarray, split: EdgeSplit, hidden_dim: int,
                            x_dev, a_tilde, deterministic=True,
                            method=VGAE.encode)
 
+    # evaluation fetches ONLY the E pair scores ([E] f32, ~100 KB), never
+    # the [N, latent] matrix (55 MB at 2019 scale — a multi-second
+    # device→host transfer through a tunneled chip, once per eval)
+    @jax.jit
+    def pair_scores(params, batch_stats, x_dev, a_tilde, pairs):
+        z = encode(params, batch_stats, x_dev, a_tilde)
+        return jax.nn.sigmoid(
+            jnp.sum(z[pairs[:, 0]] * z[pairs[:, 1]], axis=1))
+
+    def eval_split(params, batch_stats, edges, non_edges) -> dict:
+        from ..data.edges import _pos_neg_metrics
+
+        pos = np.asarray(pair_scores(params, batch_stats, x_dev, a_tilde,
+                                     jnp.asarray(edges, jnp.int32)))
+        neg = np.asarray(pair_scores(params, batch_stats, x_dev, a_tilde,
+                                     jnp.asarray(non_edges, jnp.int32)))
+        return _pos_neg_metrics(pos, neg)
+
     params, batch_stats = variables["params"], variables["batch_stats"]
     key = jax.random.key(seed)
     best_auc, best = 0.0, (params, batch_stats)
-    for epoch in range(1, epochs + 1):
-        key, sub = jax.random.split(key)
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, sub, x_dev, a_tilde, train_edges)
+    epoch = 0
+    while epoch < epochs:
+        n_steps = min(5 - epoch % 5, epochs - epoch)
+        params, batch_stats, opt_state, key, loss = step_chunk(
+            params, batch_stats, opt_state, key, x_dev, a_tilde,
+            train_edges, n_steps=n_steps)
+        epoch += n_steps
         if epoch % 5 == 0 or epoch == epochs:
-            z = np.asarray(encode(params, batch_stats, x_dev, a_tilde))
-            val = link_prediction_scores_from_z(z, split.val_edges,
-                                                split.val_non_edges)
+            val = eval_split(params, batch_stats, split.val_edges,
+                             split.val_non_edges)
             logger.log(epoch, {"loss": float(loss),
                                "val_auc": val["roc_auc"],
                                "val_ap": val["average_precision"]},
@@ -184,7 +216,6 @@ def _train_vgae_sampled(x: np.ndarray, split: EdgeSplit, hidden_dim: int,
                         jax.tree.map(lambda v: v, batch_stats))
 
     params, batch_stats = best
-    z = np.asarray(encode(params, batch_stats, x_dev, a_tilde))
-    test = link_prediction_scores_from_z(z, split.test_edges,
-                                         split.test_non_edges)
+    test = eval_split(params, batch_stats, split.test_edges,
+                      split.test_non_edges)
     return ({"params": params, "batch_stats": batch_stats}, split, test)
