@@ -72,27 +72,40 @@ def train_hmi(features: np.ndarray, inputs: HMIInputs, num_labels: int,
     excl_j = jnp.asarray(exclusion)
     x_dev = jnp.asarray(x_all)
 
+    # the whole epoch's batch loop is ONE lax.scan dispatch under jit —
+    # per-step device work here is sub-millisecond, so per-step host
+    # dispatch dominated wall time (same fix as train_hyp/train_gcn)
     @jax.jit
-    def step(params, opt_state, fig_idx, lbl_idx, target, x_dev,
-             impl_j, excl_j):
-        def loss_fn(p):
-            enc = model.apply({"params": p}, x_dev[fig_idx],
-                              method=HMI.encode)
-            lbl = p["label_emb"][lbl_idx]
-            from ..ops.horosphere import disjointedness_unit, insideness_unit
+    def train_epoch(params, opt_state, fig_mat, lbl_mat, tgt_mat, x_dev,
+                    impl_j, excl_j):
+        def body(carry, inp):
+            params, opt_state = carry
+            fig_idx, lbl_idx, target = inp
 
-            logit = (insideness_unit(enc, lbl) -
-                     disjointedness_unit(enc, lbl))[..., 0]
-            bce = optax.sigmoid_binary_cross_entropy(logit, target).mean()
-            terms = hmi_losses(enc, p["label_emb"], impl_j, excl_j)
-            total = (bce + inside_weight * terms["inside_loss"]
-                     + disjoint_weight * terms["disjoint_loss"]
-                     + reg_weight * (terms["label_reg"] +
-                                     terms["instance_reg"]))
-            return total, {"total_loss": total, "bce": bce, **terms}
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, metrics
+            def loss_fn(p):
+                enc = model.apply({"params": p}, x_dev[fig_idx],
+                                  method=HMI.encode)
+                lbl = p["label_emb"][lbl_idx]
+                from ..ops.horosphere import (disjointedness_unit,
+                                              insideness_unit)
+
+                logit = (insideness_unit(enc, lbl) -
+                         disjointedness_unit(enc, lbl))[..., 0]
+                bce = optax.sigmoid_binary_cross_entropy(logit,
+                                                         target).mean()
+                terms = hmi_losses(enc, p["label_emb"], impl_j, excl_j)
+                total = (bce + inside_weight * terms["inside_loss"]
+                         + disjoint_weight * terms["disjoint_loss"]
+                         + reg_weight * (terms["label_reg"] +
+                                         terms["instance_reg"]))
+                return total
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (fig_mat, lbl_mat, tgt_mat))
+        return params, opt_state, jnp.mean(losses)
 
     pairs = np.concatenate([y_pos, y_neg], axis=0)
     targets = np.concatenate([np.ones(len(y_pos), np.float32),
@@ -101,29 +114,22 @@ def train_hmi(features: np.ndarray, inputs: HMIInputs, num_labels: int,
     n = len(pairs)
     it = 0
     for epoch in range(1, epochs + 1):
-        perm = rng.permutation(n)
-        loss_acc, nb = None, 0
-        for s in range(0, n - batch_size + 1, batch_size):
-            idx = perm[s:s + batch_size]
-            params, opt_state, metrics = step(
-                params, opt_state, jnp.asarray(pairs[idx, 0]),
-                jnp.asarray(pairs[idx, 1]),
-                jnp.asarray(targets[idx]), x_dev, impl_j, excl_j)
-            loss_acc = (metrics["total_loss"] if loss_acc is None
-                        else loss_acc + metrics["total_loss"])
-            nb += 1
-            it += 1
-        tot = float(loss_acc) if nb else 0.0
-        if nb == 0:  # tiny datasets: single full batch (padded by resample)
-            idx = rng.choice(n, size=min(batch_size, n), replace=n < batch_size)
-            params, opt_state, metrics = step(
-                params, opt_state, jnp.asarray(pairs[idx, 0]),
-                jnp.asarray(pairs[idx, 1]),
-                jnp.asarray(targets[idx]), x_dev, impl_j, excl_j)
-            tot, nb = float(metrics["total_loss"]), 1
-            it += 1
-        history["train_loss"].append(tot / nb)
-        logger.log(it, {"epoch": epoch, "train_loss": tot / nb})
+        n_steps = n // batch_size
+        if n_steps:
+            idx = rng.permutation(n)[:n_steps * batch_size]
+        else:  # tiny datasets: single full batch (padded by resample)
+            n_steps = 1
+            idx = rng.choice(n, size=min(batch_size, n),
+                             replace=n < batch_size)
+        idx = idx.reshape(n_steps, -1)
+        params, opt_state, mean_loss = train_epoch(
+            params, opt_state, jnp.asarray(pairs[:, 0][idx]),
+            jnp.asarray(pairs[:, 1][idx]), jnp.asarray(targets[idx]),
+            x_dev, impl_j, excl_j)
+        it += n_steps
+        tot = float(mean_loss)
+        history["train_loss"].append(tot)
+        logger.log(it, {"epoch": epoch, "train_loss": tot})
     return params, history
 
 

@@ -54,19 +54,61 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # whole-epoch train/eval loops as ONE lax.scan dispatch each: the
+    # per-step device work is sub-millisecond, so per-step host dispatch
+    # dominated wall time (same fix as train_hyp/train_gcn/train_hmi)
     @jax.jit
-    def eval_step(params, anchor_idx, pos_idx, x_figures):
-        return _loss(params, anchor_idx, pos_idx, jax.random.key(0),
-                     x_figures, True)
+    def train_epoch(params, opt_state, key, a_mat, p_mat, x_figures):
+        def body(carry, inp):
+            params, opt_state, key = carry
+            a, p = inp
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(_loss)(params, a, p, sub,
+                                                    x_figures, False)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state,
+                    key), loss
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), (a_mat, p_mat))
+        return params, opt_state, key, jnp.mean(losses)
 
-    # anchor → positive-figure pairs from the prepared data
+    @jax.jit
+    def eval_epoch(params, a_mat, p_mat, x_figures):
+        def body(_, inp):
+            a, p = inp
+            return None, _loss(params, a, p, jax.random.key(0), x_figures,
+                               True)
+        _, losses = jax.lax.scan(body, None, (a_mat, p_mat))
+        return jnp.mean(losses)
+
+    # anchor → positive-figure pairs from the prepared data; the ragged
+    # per-anchor positive lists become one padded table so each epoch's
+    # positive sampling is a single vectorized draw (no per-batch Python)
     _pp, _np_, fig_to_pos_figures, _nf = figure_pair_maps(td)
     anchors = np.asarray(sorted(fig_to_pos_figures), np.int64)
     if len(anchors) < 2:
         raise ValueError("need at least 2 figures with positive partners")
+    max_pos = max(len(fig_to_pos_figures[int(a)]) for a in anchors)
+    pos_pad = np.zeros((len(anchors), max_pos), np.int64)
+    pos_cnt = np.zeros(len(anchors), np.int64)
+    row_of = {int(a): i for i, a in enumerate(anchors)}
+    for i, a in enumerate(anchors):
+        lst = fig_to_pos_figures[int(a)]
+        pos_pad[i, :len(lst)] = lst
+        pos_cnt[i] = len(lst)
     n_val = max(1, int(0.1 * len(anchors)))
     val_anchors = anchors[:n_val]
     train_anchors = anchors[n_val:]
+
+    def epoch_mats(pool: np.ndarray) -> tuple[jax.Array, jax.Array] | None:
+        n_steps = len(pool) // cfg.batch_size
+        if n_steps == 0:
+            return None
+        take = pool[rng.permutation(len(pool))[:n_steps * cfg.batch_size]]
+        rows = np.asarray([row_of[int(f)] for f in take])
+        p = pos_pad[rows, rng.integers(0, pos_cnt[rows])]
+        return (jnp.asarray(take.reshape(n_steps, -1)),
+                jnp.asarray(p.reshape(n_steps, -1)))
 
     key = jax.random.key(cfg.seed)
     best_val = float("inf")
@@ -75,41 +117,28 @@ def train_hyperbolic_contrastive(td: TrainingData, cfg: HypConTrainConfig,
     history: dict[str, list] = {"train_loss": [], "val_loss": []}
     step = 0
 
-    def epoch_batches(pool: np.ndarray):
-        perm = rng.permutation(len(pool))
-        for s in range(0, len(pool) - cfg.batch_size + 1, cfg.batch_size):
-            a = pool[perm[s:s + cfg.batch_size]]
-            p = np.asarray([fig_to_pos_figures[int(f)][
-                int(rng.integers(len(fig_to_pos_figures[int(f)])))]
-                for f in a], np.int64)
-            yield jnp.asarray(a), jnp.asarray(p)
-
     for epoch in range(1, cfg.epochs + 1):
-        loss_acc, nb = None, 0
-        for a, p in epoch_batches(train_anchors):
-            key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(params, opt_state, a, p, sub,
-                                                 x_figures)
-            loss_acc = loss if loss_acc is None else loss_acc + loss
-            nb += 1
-            step += 1
-        tot = float(loss_acc) if nb else 0.0
-        if nb == 0:
+        mats = epoch_mats(train_anchors)
+        if mats is not None:
+            key_in = key
+            params, opt_state, key, mean_loss = train_epoch(
+                params, opt_state, key_in, *mats, x_figures)
+            nb = int(mats[0].shape[0])
+            step += nb
+            tot = float(mean_loss) * nb
+        else:
             # small corpora: train on everything in one batch-sized chunk
             a = jnp.asarray(train_anchors[:cfg.batch_size])
-            p = jnp.asarray([fig_to_pos_figures[int(f)][0] for f in np.asarray(a)])
+            p = jnp.asarray([fig_to_pos_figures[int(f)][0]
+                             for f in np.asarray(a)])
             key, sub = jax.random.split(key)
             params, opt_state, loss = train_step(params, opt_state, a, p, sub,
                                                  x_figures)
             tot, nb = float(loss), 1
             step += 1
-        vacc, vb = None, 0
-        for a, p in epoch_batches(val_anchors):
-            v = eval_step(params, a, p, x_figures)
-            vacc = v if vacc is None else vacc + v
-            vb += 1
-        vtot = float(vacc) if vb else 0.0
-        val_loss = vtot / vb if vb else tot / nb
+        vmats = epoch_mats(val_anchors)
+        val_loss = (float(eval_epoch(params, *vmats, x_figures))
+                    if vmats is not None else tot / nb)
         history["train_loss"].append(tot / nb)
         history["val_loss"].append(val_loss)
         logger.log(step, {"epoch": epoch, "train_loss": tot / nb,
