@@ -159,6 +159,8 @@ def _bucket_topk_call(q_i8: jax.Array, gal_i8: jax.Array, gsc: jax.Array,
     )(q_i8, gal_i8, gsc.reshape(1, -1))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("pool", "buckets", "rows", "interpret"))
 def bucket_topk_int8(q_i8: jax.Array, q_scale: jax.Array, gal_i8: jax.Array,
                      gal_scale: jax.Array, pool: int, *,
                      buckets: int = 1024, rows: int = 2048,
@@ -171,6 +173,10 @@ def bucket_topk_int8(q_i8: jax.Array, q_scale: jax.Array, gal_i8: jax.Array,
     added here doubles as the invalid-row mask).  Returns (vals [Q, pool]
     f32, idx [Q, pool] int32) best-first, values on the same
     ``acc · q_scale · gal_scale`` scale as the XLA scan path.
+
+    The whole wrapper is ONE jit: the pad/concat/top-k glue around the
+    kernel used to run as ~8 eager dispatches per search — pure overhead
+    on a serving path (and dominant through a tunneled dev chip).
 
     Candidate-capacity contract: with ``rows == buckets`` (no intra-step
     fold) every distinct column survives while N ≤ 2·buckets, so
@@ -357,6 +363,8 @@ def quantize_poincare_queries(queries: jax.Array
     return q_i8, qscale, q_sq
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("pool", "buckets", "rows", "interpret"))
 def bucket_topk_poincare(queries: jax.Array, gal: PoincareGallery,
                          pool: int, *, buckets: int = 1024,
                          rows: int = 2048, interpret: bool = False
@@ -365,7 +373,8 @@ def bucket_topk_poincare(queries: jax.Array, gal: PoincareGallery,
 
     queries [Q, D] f32 ball points; ``gal`` from
     ``prepare_poincare_gallery``.  Returns (vals [Q, pool] f32 on the
-    surrogate scale, idx [Q, pool] int32) best-first.  Same candidate-
+    surrogate scale, idx [Q, pool] int32) best-first.  ONE jit end-to-end
+    (see ``bucket_topk_int8`` on eager-glue overhead).  Same candidate-
     capacity contract as ``bucket_topk_int8``; callers MUST re-rank the
     pool with the exact distance (see module note on boundary numerics)."""
     gal_i8, gw2, w, b = gal

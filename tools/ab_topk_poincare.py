@@ -12,11 +12,13 @@ direct distance (ops/poincare.dist) on device.
 
 Prints one JSON line: QPS per variant (median of 3) and the fused path's
 top-10 agreement against the exact search.  Measured (v5e, warm):
-int8 fused 51.7k QPS vs scan 8.4k (6.2×) at pool=80, agreement 0.99961 —
+int8 fused 68.0k QPS vs scan 8.4k (8.1×) at pool=80, agreement 0.99961 —
 IDENTICAL to the earlier bf16 kernel variant's agreement (25.9k QPS):
 the residual misses are bucket-fold candidate losses, not quantization;
 per-row int8 noise evicted no true neighbor.  pool=160 left agreement
-EXACTLY unchanged while halving QPS — deeper pools buy nothing.
+EXACTLY unchanged while halving QPS — deeper pools buy nothing.  The
+68k needs the wrapper jitted end-to-end: with its pad/concat/top-k glue
+eager (~8 dispatches/search) the median was bimodal 6-56k across runs.
 """
 from __future__ import annotations
 
