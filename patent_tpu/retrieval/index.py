@@ -168,7 +168,7 @@ def _topk_scores_int8(queries: jax.Array, gal_i8: jax.Array,
 
     Dispatches to the fused Pallas score+bucketed-top-2 kernel
     (ops/topk_kernel.py) — HBM sees only the gallery stream; measured
-    72.3k QPS vs 22.7k for the scan at 1M×512/Q=256 (3.2×, pool
+    69-88k QPS vs 22.7k for the scan at 1M×512/Q=256 (pool
     recall@10 1.0, tools/ab_topk_fused.py) — and falls back to the XLA scan path
     (``_topk_scores_int8_scan``, the correctness oracle) off-TPU or when
     the pool exceeds the kernel's 2·buckets candidate capacity.
