@@ -239,12 +239,16 @@ def bucket_topk_supported(n: int, pool: int, buckets: int = 1024,
 # affine rows as gw2 = 2·g_scale·w.  The per-QUERY scale multiplies only
 # the dot term, so unlike the cosine kernel it is applied in-kernel
 # ([Q, 1] broadcast, one VPU multiply).  Measured on v5e at 1M×512
-# (tools/ab_topk_poincare.py): 51.7k QPS vs 25.9k for the earlier bf16
-# variant and 8.4k for the exact f32 scan — with IDENTICAL candidate
-# recall (0.99961): the residual misses are bucket-fold losses, not
-# quantization; int8 row noise (≤0.4% of the row max per element) evicted
-# no true neighbor.  The XLA scan twin (retrieval/index._poincare_pool_scan)
-# runs the same int8 operands off-TPU.
+# (tools/ab_topk_poincare.py): 68.0k QPS incl. the exact re-rank (the
+# candidate kernel alone ~111k) vs 25.9k for the earlier bf16 variant and
+# 8.4k for the exact f32 scan — with IDENTICAL candidate recall (0.99961):
+# the residual misses are bucket-fold losses, not quantization; int8 row
+# noise (≤0.4% of the row max per element) evicted no true neighbor.  The
+# wrapper is jitted END-TO-END: its pad/concat/top-k glue used to run as
+# ~8 eager dispatches per search, which made measured QPS bimodal (6-56k)
+# with the host link's mood.  The XLA scan twin
+# (retrieval/index._poincare_pool_scan) runs the same int8 operands
+# off-TPU.
 #
 # Numerics: the surrogate expands |u−v|²·w, so near the ball boundary
 # (w → 1e4 at dist0 ≈ 8, c=2 — the trained models' regularizer band edge)
