@@ -71,6 +71,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "tools/pruning_quality_b16.py")
     p.add_argument("--port", type=int, default=8777,
                    help="retrieval server port (serve action)")
+    p.add_argument("--positives", choices=["patent", "cpc"],
+                   default="patent",
+                   help="ground-truth positive set for the eval action: "
+                        "'patent' scores same-patent gallery figures "
+                        "(retrieval.ipynb cell 3); 'cpc' scores same-"
+                        "medium-CPC figures — the reference's second "
+                        "evaluation block (cell 4 'CPC' rows, ground truth "
+                        "from split_query.ipynb cell 10)")
     p.add_argument("overrides", nargs="*",
                    help="config overrides as key=value")
     return p

@@ -110,15 +110,18 @@ def _fold_scores(s, base: int, buckets: int, rows: int,
 
 
 def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
-                        i2_ref, *, buckets: int, rows: int):
+                        i2_ref, *, buckets: int, rows: int,
+                        acc_dtype=jnp.int32):
     """One grid step: score an [R, D] gallery block and fold it into the
-    per-bucket top-2 accumulators (the output refs, constant index map)."""
+    per-bucket top-2 accumulators (the output refs, constant index map).
+    ``acc_dtype``: int32 for the int8 MXU path, float32 for the bf16
+    gallery stream — the fold/mask machinery is dtype-agnostic."""
     step = pl.program_id(0)
     _init_accumulators(step, v1_ref, i1_ref, v2_ref, i2_ref)
     acc = jax.lax.dot_general(
         q_ref[...], gal_ref[...],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)                     # [Q, R]
+        preferred_element_type=acc_dtype)                     # [Q, R]
     gsc = gsc_ref[...]                                        # [1, R]
     # row (per-query) scale deferred to the wrapper: positive and constant
     # per row, so it cannot change any within-row comparison below
@@ -129,16 +132,21 @@ def _bucket_topk_kernel(q_ref, gal_ref, gsc_ref, v1_ref, i1_ref, v2_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("buckets", "rows", "interpret"))
-def _bucket_topk_call(q_i8: jax.Array, gal_i8: jax.Array, gsc: jax.Array,
+def _bucket_topk_call(q_blk: jax.Array, gal_blk: jax.Array, gsc: jax.Array,
                       buckets: int, rows: int, interpret: bool = False):
-    qp, dp = q_i8.shape
-    n_steps = gal_i8.shape[0] // rows
+    """Shared pallas_call for the cosine bucket kernels: int8 queries ×
+    int8 gallery (int32 MXU accumulate) or bf16 × bf16 (f32 accumulate) —
+    dtype decides the accumulator, everything else is identical."""
+    qp, dp = q_blk.shape
+    n_steps = gal_blk.shape[0] // rows
+    acc_dtype = jnp.int32 if q_blk.dtype == jnp.int8 else jnp.float32
     out = jax.ShapeDtypeStruct((qp, buckets), jnp.float32)
     out_i = jax.ShapeDtypeStruct((qp, buckets), jnp.int32)
     acc_spec = pl.BlockSpec((qp, buckets), lambda i: (0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_bucket_topk_kernel, buckets=buckets, rows=rows),
+        functools.partial(_bucket_topk_kernel, buckets=buckets, rows=rows,
+                          acc_dtype=acc_dtype),
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((qp, dp), lambda i: (0, 0),
@@ -152,11 +160,13 @@ def _bucket_topk_call(q_i8: jax.Array, gal_i8: jax.Array, gsc: jax.Array,
         out_shape=(out, out_i, out, out_i),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * dp * rows * n_steps,
-            bytes_accessed=(gal_i8.size + gsc.size * 4 + q_i8.size
+            bytes_accessed=(gal_blk.size * gal_blk.dtype.itemsize
+                            + gsc.size * 4
+                            + q_blk.size * q_blk.dtype.itemsize
                             + 4 * qp * buckets * 4),
             transcendentals=0),
         interpret=interpret,
-    )(q_i8, gal_i8, gsc.reshape(1, -1))
+    )(q_blk, gal_blk, gsc.reshape(1, -1))
 
 
 @functools.partial(jax.jit,
@@ -224,6 +234,75 @@ def bucket_topk_supported(n: int, pool: int, buckets: int = 1024,
         rows = buckets
     cap = min(n, 2 * buckets if rows == buckets else buckets)
     return _HAS_PALLAS and pool <= cap
+
+
+# ------------------------------------------------------------ bf16 cosine
+# The NON-quantized serving path (``--quantize`` off: the default CLI
+# config and the bench's exact-cosine oracle section) previously had no
+# fused counterpart — the XLA scan materializes [Q, block] f32 score tiles
+# to HBM between the matmul and approx_max_k, capping 1M×512 search at
+# ~8.4k QPS.  This variant streams the gallery as PRE-NORMALIZED bf16 rows
+# (HALF the f32 scan's HBM bytes; scores accumulate in f32 on the MXU)
+# through the same bucketed-top-2 machinery; the caller re-ranks the
+# over-fetched pool against the resident f32 gallery with the scan's exact
+# normalization math (HIGHEST-precision f32), so the final ordering is
+# IDENTICAL to ``topk_search`` — bf16 noise (≲0.4% relative, strictly less
+# than the int8 path's) only has to keep true top-k members inside the
+# 8k-deep pool.  Parity is asserted in tests/test_index.py and re-measured
+# against the scan every bench run.
+
+
+def prepare_cosine_gallery_bf16(embeddings) -> tuple[jax.Array, jax.Array]:
+    """One-time index-build transform: gallery [N, D] → (L2-normalized
+    bf16 rows [N, D], valid-row mask [N] f32 — all ones here; zero padding
+    added by the wrapper doubles as the invalid-row mask)."""
+    g = jnp.asarray(embeddings, jnp.float32)
+    gn = g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-12)
+    return gn.astype(jnp.bfloat16), jnp.ones((g.shape[0],), jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("pool", "buckets", "rows", "interpret"))
+def bucket_topk_bf16(queries: jax.Array, gal_bf16: jax.Array,
+                     valid: jax.Array, pool: int, *,
+                     buckets: int = 1024, rows: int = 2048,
+                     interpret: bool = False
+                     ) -> tuple[jax.Array, jax.Array]:
+    """Top-``pool`` bf16-cosine candidates over the whole gallery, fused.
+
+    queries [Q, D] f32 (normalized in f32 here, then cast); ``gal_bf16`` /
+    ``valid`` from ``prepare_cosine_gallery_bf16``.  Returns (vals [Q, pool]
+    f32 bf16-score scale, idx [Q, pool] int32) best-first.  ONE jit
+    end-to-end; same candidate-capacity contract as ``bucket_topk_int8``.
+    Callers MUST re-rank the pool in f32 for exact ordering."""
+    n, d = gal_bf16.shape
+    q = queries.shape[0]
+    if n <= 2 * buckets:
+        rows = buckets          # lossless regime (see bucket_topk_int8)
+    capacity = min(n, 2 * buckets if rows == buckets else buckets)
+    if pool > capacity:
+        raise ValueError(f"pool={pool} exceeds candidate capacity "
+                         f"{capacity} (N={n}, buckets={buckets}, "
+                         f"rows={rows})")
+    if rows % buckets:
+        raise ValueError(f"rows={rows} must be a multiple of buckets={buckets}")
+    qf = jnp.asarray(queries, jnp.float32)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True), 1e-12)
+    q16 = qn.astype(jnp.bfloat16)
+    qp = _round_up(max(q, 16), 16)          # bf16 sublane tile
+    dp = _round_up(d, 128)
+    np_rows = _round_up(n, rows)
+    if (qp, dp) != (q, d):
+        q16 = jnp.pad(q16, ((0, qp - q), (0, dp - d)))
+    if (np_rows, dp) != (n, d):
+        gal_bf16 = jnp.pad(gal_bf16, ((0, np_rows - n), (0, dp - d)))
+    gsc = jnp.pad(valid, (0, np_rows - n))        # zeros mask padded rows
+    v1, i1, v2, i2 = _bucket_topk_call(q16, gal_bf16, gsc, buckets, rows,
+                                       interpret)
+    vals2 = jnp.concatenate([v1, v2], axis=1)[:q]             # [Q, 2L]
+    idx2 = jnp.concatenate([i1, i2], axis=1)[:q]
+    vals, pos = jax.lax.top_k(vals2, pool)
+    return vals, jnp.take_along_axis(idx2, pos, axis=1)
 
 
 # --------------------------------------------------------------- Poincaré

@@ -226,10 +226,20 @@ def run_retrieval_action(action: str, args) -> int:
         return 0
 
     if action == "eval":
+        # both reference batteries are reachable: --positives patent scores
+        # the cell-3 protocol (same-patent gallery figures); --positives cpc
+        # re-scores the SAME rankings against same-medium-CPC positives —
+        # the second block of retrieval.ipynb cell 4 (mAP 0.374 / R@10
+        # 0.406 rows in BASELINE.md), ground truth from split_query.ipynb
+        # cell 10.  CPC results get a distinct filename so the two
+        # batteries never overwrite each other under one --model name.
+        positives = getattr(args, "positives", "patent") or "patent"
+        tag = "" if positives == "patent" else f"_{positives}"
         results_path = os.path.join(
             args.path, "results",
-            f"evaluation_results_{args.model}.json")
+            f"evaluation_results_{args.model}{tag}.json")
         metrics = engine.evaluate(query_dir, gt_path,
+                                  positives_key=f"{positives}_positives",
                                   results_path=results_path)
         print(metrics)
         print(f"detailed results -> {results_path}")

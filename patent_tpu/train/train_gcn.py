@@ -95,15 +95,19 @@ def train_pair_classification(x: np.ndarray, adjacency,
     def _epoch_batches(idx_pool: np.ndarray, shuffle: bool
                        ) -> tuple[jax.Array, jax.Array]:
         """Fixed-shape [n_steps, B] index matrix + {0, 1} weight matrix.
-        The ragged tail is padded by repeating leading indices with weight
-        0, so every batch keeps the jit shape and padded rows contribute
-        nothing to losses/metrics."""
+        The ragged tail is padded CYCLICALLY from the pool (np.resize) with
+        weight 0, so every batch keeps the jit shape and padded rows
+        contribute nothing to losses/metrics.  Cyclic padding matters for
+        training: the padded rows still enter the classifier's BatchNorm
+        batch statistics (weights only zero the loss), and repeating ONE
+        pair `pad` times skewed the tail batch's normalization — the
+        leading entries of a fresh shuffle are a balanced resample."""
         perm = rng.permutation(idx_pool) if shuffle else np.asarray(idx_pool)
         n_steps = max(1, -(-len(perm) // cfg.batch_size))
         pad = n_steps * cfg.batch_size - len(perm)
         wt = np.ones(len(perm), np.float32)
         if pad:
-            perm = np.concatenate([perm, perm[:1].repeat(pad)])
+            perm = np.resize(perm, n_steps * cfg.batch_size)
             wt = np.concatenate([wt, np.zeros(pad, np.float32)])
         return (jnp.asarray(perm.reshape(n_steps, cfg.batch_size), jnp.int32),
                 jnp.asarray(wt.reshape(n_steps, cfg.batch_size)))

@@ -146,6 +146,12 @@ def _train_vgae_sampled(x: np.ndarray, split: EdgeSplit, hidden_dim: int,
             params, batch_stats, opt_state, key = carry
             key, sub = jax.random.split(key)
             neg = jax.random.randint(sub, train_edges.shape, 0, n)
+            # reroll self-pairs (i, i): with L2-normalized latents their
+            # logit is exactly 1 — a maximally-confident false negative
+            # (~1/n of draws, tiny but systematic); +1 mod n breaks the tie
+            neg = neg.at[:, 1].set(
+                jnp.where(neg[:, 0] == neg[:, 1], (neg[:, 1] + 1) % n,
+                          neg[:, 1]))
 
             def loss_fn(p):
                 z, mut = model.apply(

@@ -143,3 +143,160 @@ def test_search_by_name_and_errors(live_server):
     # unknown endpoint → 404
     status, _ = _get(base + "/healthz")  # still alive after the error barrage
     assert status == 200
+
+
+# ------------------------------------------------------- micro-batching
+
+class _CountingIndex:
+    """Index stub with a fixed per-DISPATCH cost, so batching wins are
+    deterministic: serialized throughput is bounded by dispatch count, and
+    coalescing N requests into one dispatch must show up directly."""
+
+    def __init__(self, n=64, dim=8, dispatch_s=0.01):
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((n, dim)).astype(np.float32)
+        self.embeddings = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
+        self.names = [f"g{i}.png" for i in range(n)]
+        self.dispatch_s = dispatch_s
+        self.calls = 0
+        self._mu = __import__("threading").Lock()
+
+    def __len__(self):
+        return len(self.names)
+
+    def search(self, queries, k=10):
+        import time
+
+        with self._mu:
+            self.calls += 1
+        time.sleep(self.dispatch_s)    # the per-dispatch overhead stand-in
+        q = np.asarray(queries, np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        s = q @ self.embeddings.T
+        idx = np.argsort(-s, axis=1)[:, :k]
+        return np.take_along_axis(s, idx, axis=1), idx
+
+
+def test_microbatch_correctness_under_concurrency():
+    """N threads hammering the batcher get exactly the answers a lone
+    serial search would produce, per request, regardless of coalescing."""
+    import threading
+
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    idx = _CountingIndex(n=128, dim=16, dispatch_s=0.002)
+    batcher = MicroBatcher(idx, max_wait_s=0.002)
+    rng = np.random.default_rng(1)
+    queries = rng.standard_normal((24, 2, 16)).astype(np.float32)
+    ks = [int(k) for k in rng.integers(1, 9, 24)]
+    got: list = [None] * 24
+    errs: list = []
+
+    def worker(i):
+        try:
+            got[i] = batcher.search(queries[i], ks[i])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for i in range(24):
+        vals, res = got[i]
+        oracle = _CountingIndex(n=128, dim=16)
+        want_vals, want_idx = oracle.search(queries[i], k=ks[i])
+        assert res.shape == (2, ks[i])
+        np.testing.assert_array_equal(res, want_idx)
+        np.testing.assert_allclose(vals, want_vals, rtol=1e-5)
+    # concurrency must have coalesced: far fewer dispatches than requests
+    assert idx.calls < 24
+
+
+def test_microbatch_throughput_vs_serialized():
+    """VERDICT r3 #8 done-criterion: N concurrent clients through the
+    micro-batcher sustain ≥ 3× the serialized (per-request dispatch) QPS.
+    The stub charges a fixed 10 ms per device dispatch, so the serialized
+    baseline is deterministic (~100 QPS) and the batched run's win comes
+    only from coalescing."""
+    import threading
+    import time
+
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    n_clients, n_reqs = 8, 6
+    rng = np.random.default_rng(2)
+    queries = rng.standard_normal((n_clients, n_reqs, 1, 8)).astype(
+        np.float32)
+
+    # serialized baseline: one dispatch per request under a single lock
+    idx0 = _CountingIndex(dispatch_s=0.01)
+    lock = __import__("threading").Lock()
+    t0 = time.perf_counter()
+    for c in range(n_clients):
+        for r in range(n_reqs):
+            with lock:
+                idx0.search(queries[c, r], k=5)
+    serial_qps = (n_clients * n_reqs) / (time.perf_counter() - t0)
+
+    idx1 = _CountingIndex(dispatch_s=0.01)
+    batcher = MicroBatcher(idx1, max_wait_s=0.002)
+    errs: list = []
+
+    def client(c):
+        try:
+            for r in range(n_reqs):
+                batcher.search(queries[c, r], k=5)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    batched_qps = (n_clients * n_reqs) / (time.perf_counter() - t0)
+    assert not errs
+    assert idx1.calls < idx0.calls / 2, \
+        f"no coalescing: {idx1.calls} vs {idx0.calls} dispatches"
+    assert batched_qps >= 3.0 * serial_qps, \
+        f"batched {batched_qps:.0f} QPS < 3x serialized {serial_qps:.0f}"
+
+
+def test_microbatch_k_exceeding_gallery_clamps():
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    idx = _CountingIndex(n=8, dim=8)
+    batcher = MicroBatcher(idx, max_wait_s=0.0)
+    vals, res = batcher.search(np.ones((1, 8), np.float32), k=50)
+    assert res.shape[1] == 8      # clamped to gallery size
+
+
+def test_microbatch_error_propagates_to_all_waiters():
+    import threading
+
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    class _Boom(_CountingIndex):
+        def search(self, queries, k=10):
+            raise RuntimeError("device on fire")
+
+    batcher = MicroBatcher(_Boom(), max_wait_s=0.005)
+    errs = []
+
+    def worker():
+        try:
+            batcher.search(np.ones((1, 8), np.float32), k=3)
+        except RuntimeError as e:
+            errs.append(str(e))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(errs) == 4 and all("device on fire" in e for e in errs)
