@@ -31,8 +31,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import poincare
-from ..ops.topk_kernel import (PoincareGallery, bucket_topk_int8,
-                               bucket_topk_poincare, bucket_topk_supported,
+from ..ops.topk_kernel import (PoincareGallery, bucket_topk_bf16,
+                               bucket_topk_int8, bucket_topk_poincare,
+                               bucket_topk_supported,
+                               prepare_cosine_gallery_bf16,
                                prepare_poincare_gallery,
                                quantize_poincare_queries)
 
@@ -295,6 +297,75 @@ def topk_search_quantized(queries, gal_i8: jax.Array, gal_scale: jax.Array,
     vals = np.take_along_axis(exact, order, axis=1)
     idx = np.take_along_axis(pidx, order, axis=1)
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _cosine_rerank_device(pidx: jax.Array, queries: jax.Array,
+                          gallery: jax.Array, k: int
+                          ) -> tuple[jax.Array, jax.Array]:
+    """Exact f32 cosine re-rank of a candidate pool — the SAME normalization
+    and HIGHEST-precision dot math as ``_scores_block('cosine')``, so the
+    winners' values/ordering are identical to the scan oracle's."""
+    qn = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
+    cand = gallery[pidx]                                      # [Q, P, D]
+    cand = cand / jnp.maximum(
+        jnp.linalg.norm(cand, axis=-1, keepdims=True), 1e-12)
+    exact = jnp.einsum("qd,qpd->qp", qn, cand,
+                       precision=jax.lax.Precision.HIGHEST)
+    vals, pos = jax.lax.top_k(exact, k)
+    return vals, jnp.take_along_axis(pidx, pos, axis=1)
+
+
+def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
+                            gallery_f32, k: int = 10,
+                            block_size: int = 8192,
+                            rerank_mult: int = DEFAULT_RERANK_MULT
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact cosine top-k for the NON-quantized index: fused bf16 candidate
+    stage + exact f32 device re-rank.
+
+    The default serving path (``--quantize`` off) and the bench's
+    exact-cosine section used to run the XLA scan at ~8.4k QPS @1M×512;
+    here the candidate stage streams the bf16 gallery (HALF the f32 bytes,
+    no score-tile HBM round-trips) through the bucketed-top-2 kernel, and
+    the ``rerank_mult·k`` pool is re-scored against the resident f32
+    gallery with ``topk_search``'s exact math — final ordering is
+    IDENTICAL to the scan (pinned in tests/test_index.py; re-measured
+    every bench run).  Off-TPU (or ``PATENT_TPU_FUSED_TOPK=0``) this
+    falls back to the scan oracle itself; ``=force`` runs the kernel in
+    interpret mode (test coverage).  Replaces the serving hot loop of
+    /root/reference/notebooks/retrieval.ipynb cell 3 (full Q×G cosine on
+    CPU + argsort) at index scale."""
+    q = jnp.asarray(queries, jnp.float32)
+    n = gal_bf16.shape[0]
+    pool = min(max(k * rerank_mult, k), n)
+    mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
+    use_fused = (mode != "0"
+                 and pool < n
+                 and bucket_topk_supported(n, pool, _FUSED_BUCKETS,
+                                           _FUSED_ROWS)
+                 and (_on_tpu() or mode == "force"))
+    if not use_fused:
+        vals, idx = topk_search(q, jnp.asarray(gallery_f32), k=k,
+                                similarity="cosine", block_size=block_size)
+        return np.asarray(vals), np.asarray(idx)
+    _pv, pidx = bucket_topk_bf16(q, gal_bf16, valid, pool,
+                                 buckets=_FUSED_BUCKETS, rows=_FUSED_ROWS,
+                                 interpret=not _on_tpu())
+    if isinstance(gallery_f32, jax.Array):
+        vals, idx = _cosine_rerank_device(pidx, q, gallery_f32, k)
+        return np.asarray(vals), np.asarray(idx)
+    # host-resident f32 gallery: re-rank the pool rows on host
+    pidx = np.asarray(pidx)
+    qn = np.asarray(q, np.float32)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    gn = np.asarray(gallery_f32)[pidx]
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    exact = np.einsum("qd,qpd->qp", qn, gn)
+    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(pidx, order, axis=1))
 
 
 def _poincare_dist_np(u: np.ndarray, v: np.ndarray, c: float) -> np.ndarray:
@@ -625,6 +696,12 @@ class EmbeddingIndex:
         # (sharded_topk_search); keeping one canonical array here avoids a
         # duplicate padded copy in HBM
         self.embeddings = jnp.asarray(embeddings)
+        # bf16 candidate copy for the fused exact-cosine path, built lazily
+        # on the first eligible search (top-k ≪ N, single device): +50%
+        # gallery HBM buys an ~order-of-magnitude QPS step over the scan,
+        # and full-ranking-only callers (engine.evaluate) never pay it
+        self._gal16 = None
+        self._gal16_valid = None
 
     def __len__(self) -> int:
         return len(self.names)
@@ -663,6 +740,17 @@ class EmbeddingIndex:
                                             similarity=self.similarity,
                                             block_size=block_size, c=self.c,
                                             axis=self.axis)
+        elif (self.similarity == "cosine"
+                and k * DEFAULT_RERANK_MULT < len(self.names)):
+            # fused bf16 candidate stage + exact f32 re-rank — identical
+            # ordering to the scan, ~order-of-magnitude faster at index
+            # scale (falls back to the scan itself off-TPU)
+            if self._gal16 is None:
+                self._gal16, self._gal16_valid = \
+                    prepare_cosine_gallery_bf16(self.embeddings)
+            vals, idx = topk_search_cosine_fast(
+                q, self._gal16, self._gal16_valid, self.embeddings, k=k,
+                block_size=block_size)
         else:
             vals, idx = topk_search(q, self.embeddings, k=k,
                                     similarity=self.similarity,

@@ -34,6 +34,9 @@ def test_bench_json_schema(monkeypatch, capsys):
         "int8_cosine_min": 0.9997})
     monkeypatch.setattr(bench, "bench_topk",
                         lambda *a, **k: (8000.0, [7900.0, 8100.0]))
+    monkeypatch.setattr(bench, "bench_topk_cosine_fast",
+                        lambda *a, **k: (48000.0, [47000.0, 49000.0],
+                                         8400.0, 1.0))
     monkeypatch.setattr(bench, "bench_topk_int8",
                         lambda *a, **k: (40000.0, [39000.0, 41000.0], 1.0))
     monkeypatch.setattr(bench, "bench_topk_poincare_fused",

@@ -510,3 +510,69 @@ def test_index_mesh_quantized_poincare(eight_devices, monkeypatch):
     ev, ei = exact.search(queries, k=6)
     np.testing.assert_array_equal(fi, ei)
     np.testing.assert_allclose(fv, ev, rtol=2e-4, atol=2e-4)
+
+
+# ----------------------------------------- fused bf16 exact-cosine path
+
+def test_bucket_topk_bf16_pool_contains_exact_topk(data):
+    """The bf16 candidate pool must contain the exact f32 top-10 (bf16
+    score noise is strictly below the int8 path's, and the wrapper's
+    small-gallery clamp makes this pool lossless here)."""
+    from patent_tpu.ops.topk_kernel import (bucket_topk_bf16,
+                                            prepare_cosine_gallery_bf16)
+
+    queries, gallery = data
+    gal16, valid = prepare_cosine_gallery_bf16(gallery)
+    _pv, pidx = bucket_topk_bf16(jnp.asarray(queries), gal16, valid, 80,
+                                 interpret=True)
+    pidx = np.asarray(pidx)
+    _bv, bi = brute_force_cosine(queries, gallery, 10)
+    for r in range(queries.shape[0]):
+        missing = set(bi[r]) - set(pidx[r])
+        assert not missing, f"query {r}: exact top-10 lost {missing}"
+
+
+def test_cosine_fast_matches_scan_exactly(data, monkeypatch):
+    """VERDICT r3 #4 done-criterion: the fused bf16 candidate + exact f32
+    re-rank path returns IDENTICAL ordering and values to the scan oracle
+    (topk_search) — the non-quantized serving path stays exact."""
+    from patent_tpu.retrieval.index import (prepare_cosine_gallery_bf16,
+                                            topk_search_cosine_fast)
+
+    queries, gallery = data
+    gal16, valid = prepare_cosine_gallery_bf16(gallery)
+    sv, si = topk_search(jnp.asarray(queries), jnp.asarray(gallery), k=10,
+                         block_size=256)
+    sv, si = np.asarray(sv), np.asarray(si)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    fv, fi = topk_search_cosine_fast(queries, gal16, valid,
+                                     jnp.asarray(gallery), k=10,
+                                     block_size=256)
+    np.testing.assert_array_equal(si, fi)
+    np.testing.assert_allclose(sv, fv, atol=1e-6)
+    # host-resident f32 gallery re-ranks on host: same answers
+    hv, hi = topk_search_cosine_fast(queries, gal16, valid, gallery, k=10,
+                                     block_size=256)
+    np.testing.assert_array_equal(si, hi)
+    np.testing.assert_allclose(sv, hv, atol=1e-5)
+
+
+def test_embedding_index_cosine_fast_dispatch(data, monkeypatch):
+    """EmbeddingIndex (non-quantized cosine) routes small-k searches
+    through the fused path when forced; results equal the scan path's and
+    the bf16 gallery copy is built lazily."""
+    queries, gallery = data
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "0")
+    idx0 = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))])
+    v_scan, i_scan = idx0.search(queries, k=10)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    idx1 = EmbeddingIndex(gallery, [f"g{i}" for i in range(len(gallery))])
+    assert idx1._gal16 is None
+    v_fast, i_fast = idx1.search(queries, k=10)
+    assert idx1._gal16 is not None          # lazily built on first search
+    np.testing.assert_array_equal(i_scan, i_fast)
+    np.testing.assert_allclose(v_scan, v_fast, atol=1e-6)
+    # full-gallery ranking keeps the scan path (pool >= N)
+    vf, _ = idx1.search(queries[:3], k=len(gallery))
+    bv, _ = brute_force_cosine(queries[:3], gallery, len(gallery))
+    np.testing.assert_allclose(vf, bv, atol=1e-5)
