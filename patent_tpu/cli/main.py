@@ -325,7 +325,9 @@ def main(argv: list[str] | None = None) -> int:
         encode = _build_encoder(args, image_size)
         engine = RetrievalEngine(encode, batch_size=32,
                                  image_size=image_size, num_workers=4,
-                                 input_dtype="u8")
+                                 input_dtype="u8",
+                                 cache_dir=os.path.join(args.path,
+                                                        "decoded_cache"))
         from ..retrieval.cli_actions import index_prefix
         prefix = index_prefix(args.path, gallery_dir, args.quantize,
                               getattr(args, "keep_tokens", None))

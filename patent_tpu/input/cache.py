@@ -1,0 +1,185 @@
+"""Decoded-u8 image cache: one decode, many encode passes.
+
+The composed encode-from-disk path is decode-bound on small hosts (the
+native PNG decoder measures 583 img/s/core; PIL is slower), yet the
+framework's own workloads re-read the SAME gallery repeatedly: the golden
+pipeline encodes one gallery under bf16, int8, and pruned towers (three
+full decode passes), `eval` re-encodes the query set per battery, and any
+re-index starts from the same files.  The reference pays this cost every
+pass too (DataLoader re-decodes per epoch/run,
+/root/reference/notebooks/retrieval.ipynb cell 2).
+
+This cache stores post-resize raw RGB rows — [S, S, 3] uint8, ~147 KB at
+224px — in ONE append-only flat file with a JSON manifest keyed by
+absolute path and (mtime_ns, size) signature.  A second pass streams rows
+with ``os.pread`` at page-cache/disk bandwidth (measured: thousands of
+img/s vs hundreds for decode), turning every later pass device- or
+wire-bound.  u8 is also the serving wire format, so cached rows feed the
+device path with zero further host work.
+
+Design notes:
+* Append-only + single flat file: no per-image-file inode storm; rows are
+  written under a lock by whichever decode thread misses, and the manifest
+  is flushed at close (and every 512 appends, so a crash loses bounded
+  work, never correctness — unflushed rows are simply re-decoded).
+* Validation is per-source-file (mtime_ns, size): a changed image gets
+  re-decoded and re-appended; the stale row becomes dead space (galleries
+  are immutable in practice; ``vacuum()`` rewrites the file when callers
+  care).
+* Single-process writer assumed (the CLI actions run one at a time); reads
+  are positional pread and safe from any thread.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import threading
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+_MANIFEST_FLUSH_EVERY = 512
+
+
+class DecodedU8Cache:
+    """Append-only decoded-u8 row cache (see module docstring).
+
+    Usage::
+
+        cache = DecodedU8Cache(cache_dir, image_size=224)
+        arr = cache.get(path)            # None on miss
+        cache.put(path, decoded_u8)      # [S, S, 3] uint8
+        cache.close()                    # flush manifest
+    """
+
+    def __init__(self, cache_dir: str, image_size: int):
+        self.image_size = int(image_size)
+        self.row_bytes = self.image_size * self.image_size * 3
+        os.makedirs(cache_dir, exist_ok=True)
+        self.data_path = os.path.join(cache_dir,
+                                      f"decoded_{self.image_size}.u8")
+        self.manifest_path = os.path.join(
+            cache_dir, f"decoded_{self.image_size}.json")
+        self._lock = threading.Lock()
+        self._entries: dict[str, dict] = {}
+        self._appends_since_flush = 0
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as f:
+                    manifest = json.load(f)
+                if manifest.get("image_size") == self.image_size:
+                    self._entries = manifest.get("entries", {})
+            except (json.JSONDecodeError, OSError) as e:
+                log.warning("unreadable cache manifest %s (%s); rebuilding",
+                            self.manifest_path, e)
+        # rows beyond the manifest (crash between append and flush) are
+        # dead space; n_rows tracks the FILE so new appends land past them
+        size = (os.path.getsize(self.data_path)
+                if os.path.exists(self.data_path) else 0)
+        self._n_rows = size // self.row_bytes
+        # drop manifest entries pointing past a truncated file
+        self._entries = {k: v for k, v in self._entries.items()
+                         if v["row"] < self._n_rows}
+        self._append_f = open(self.data_path, "ab")
+        self._read_fd = os.open(self.data_path, os.O_RDONLY)
+        self.hits = 0
+        self.misses = 0
+
+    @staticmethod
+    def _sig(path: str) -> list[int] | None:
+        try:
+            st = os.stat(path)
+            return [st.st_mtime_ns, st.st_size]
+        except OSError:
+            return None
+
+    def get(self, path: str) -> np.ndarray | None:
+        """Cached [S, S, 3] uint8 row for ``path``, or None on miss/stale."""
+        key = os.path.abspath(path)
+        entry = self._entries.get(key)
+        if entry is None or entry["sig"] != self._sig(key):
+            with self._lock:
+                self.misses += 1
+            return None
+        buf = os.pread(self._read_fd, self.row_bytes,
+                       entry["row"] * self.row_bytes)
+        if len(buf) != self.row_bytes:      # truncated file: treat as miss
+            with self._lock:
+                self.misses += 1
+            return None
+        with self._lock:
+            self.hits += 1
+        return np.frombuffer(buf, np.uint8).reshape(
+            self.image_size, self.image_size, 3)
+
+    def put(self, path: str, arr: np.ndarray) -> None:
+        """Append a decoded row (thread-safe; last writer wins per path)."""
+        if arr.shape != (self.image_size, self.image_size, 3) \
+                or arr.dtype != np.uint8:
+            raise ValueError(f"expected [{self.image_size}, "
+                             f"{self.image_size}, 3] uint8, got "
+                             f"{arr.shape} {arr.dtype}")
+        key = os.path.abspath(path)
+        sig = self._sig(key)
+        if sig is None:
+            return
+        data = np.ascontiguousarray(arr).tobytes()
+        with self._lock:
+            self._append_f.write(data)
+            row = self._n_rows
+            self._n_rows += 1
+            self._entries[key] = {"row": row, "sig": sig}
+            self._appends_since_flush += 1
+            if self._appends_since_flush >= _MANIFEST_FLUSH_EVERY:
+                self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        self._append_f.flush()
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"image_size": self.image_size,
+                       "entries": self._entries}, f)
+        os.replace(tmp, self.manifest_path)
+        self._appends_since_flush = 0
+
+    def flush(self) -> None:
+        with self._lock:
+            self._flush_locked()
+
+    def close(self) -> None:
+        with self._lock:
+            self._flush_locked()
+            self._append_f.close()
+            os.close(self._read_fd)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def vacuum(self) -> None:
+        """Rewrite the data file keeping only live rows (reclaims dead
+        space left by re-decoded/stale entries)."""
+        with self._lock:
+            live = sorted(self._entries.items(), key=lambda kv: kv[1]["row"])
+            tmp = self.data_path + ".tmp"
+            with open(tmp, "wb") as out:
+                for i, (key, entry) in enumerate(live):
+                    buf = os.pread(self._read_fd, self.row_bytes,
+                                   entry["row"] * self.row_bytes)
+                    out.write(buf)
+                    entry["row"] = i
+            self._append_f.close()
+            os.close(self._read_fd)
+            os.replace(tmp, self.data_path)
+            self._n_rows = len(live)
+            self._append_f = open(self.data_path, "ab")
+            self._read_fd = os.open(self.data_path, os.O_RDONLY)
+            self._flush_locked()

@@ -124,11 +124,17 @@ class ImageBatcher:
                  image_size: int = IMAGE_SIZE, num_workers: int = 8,
                  prefetch: int = 4, drop_remainder: bool = False,
                  use_native: bool | None = None,
-                 out_dtype: str = "f32"):
+                 out_dtype: str = "f32", cache=None):
         """``out_dtype``: "f32" yields CLIP-normalized float32 batches;
         "u8" yields raw uint8 RGB (4× less host→device transfer — the
         encoder must normalize on device, see
-        retrieval.engine.make_device_normalizing_encoder)."""
+        retrieval.engine.make_device_normalizing_encoder).
+
+        ``cache``: optional ``input.cache.DecodedU8Cache`` — decode misses
+        are appended; hits skip the decoder entirely, so repeat passes over
+        the same gallery (the golden's bf16→int8→pruned triple encode, any
+        re-index) stream at cache-read speed instead of decode speed.
+        Caller owns the cache lifecycle (flush/close)."""
         self.image_paths = list(image_paths)
         self.batch_size = batch_size
         self.image_size = image_size
@@ -144,6 +150,10 @@ class ImageBatcher:
 
             use_native = native.native_available()
         self.use_native = use_native
+        self.cache = cache
+        if cache is not None and cache.image_size != image_size:
+            raise ValueError(f"cache stores {cache.image_size}px rows, "
+                             f"batcher wants {image_size}px")
 
     def __len__(self) -> int:
         n = len(self.image_paths)
@@ -167,6 +177,8 @@ class ImageBatcher:
             return
         window = max(self.batch_size * self.prefetch, self.batch_size)
         decode = decode_image_u8 if self.out_dtype == "u8" else decode_image
+        if self.cache is not None:
+            decode = self._decode_cached
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             futures: deque[tuple[cf.Future, str]] = deque()
             submitted = 0
@@ -199,15 +211,53 @@ class ImageBatcher:
                 consumed += take
                 yield batch, names, n_valid
 
+    def _decode_cached(self, path: str, image_size: int) -> np.ndarray | None:
+        """Cache-first decode: hit → raw u8 row straight from the cache
+        file; miss → full decode, appended for every later pass.  f32
+        output applies the identical normalization math decode_image uses
+        (both start from the same post-resize u8 array)."""
+        arr = self.cache.get(path)
+        if arr is None:
+            arr = decode_image_u8(path, image_size)
+            if arr is not None:
+                self.cache.put(path, arr)
+        if arr is None:
+            return None
+        return arr if self.out_dtype == "u8" else normalize_array(arr)
+
 
 def _native_decode_chunk(chunk: list[str], image_size: int,
                          num_threads: int,
-                         out_dtype: str = "f32") -> tuple[np.ndarray, list[int]]:
+                         out_dtype: str = "f32",
+                         cache=None) -> tuple[np.ndarray, list[int]]:
     """C++ threaded decode of one chunk + PIL retry for failed files.
 
     Returns (images [len(chunk), S, S, 3] in chunk order with failed rows
-    dropped later, list of surviving positions)."""
+    dropped later, list of surviving positions).  With ``cache`` set,
+    cached rows skip the native decoder and only misses are decoded (and
+    appended)."""
     from . import native
+
+    if cache is not None:
+        rows: list[np.ndarray | None] = [cache.get(p) for p in chunk]
+        miss = [i for i, r in enumerate(rows) if r is None]
+        if miss:
+            sub, sub_ok = _native_decode_chunk([chunk[i] for i in miss],
+                                               image_size, num_threads, "u8")
+            ok = set(sub_ok)
+            for j, i in enumerate(miss):
+                if j in ok:
+                    rows[i] = sub[j]
+                    cache.put(chunk[i], sub[j])
+        batch = np.zeros((len(chunk), image_size, image_size, 3), np.uint8)
+        survivors = []
+        for i, r in enumerate(rows):
+            if r is not None:
+                batch[i] = r
+                survivors.append(i)
+        if out_dtype != "u8":
+            batch = (batch.astype(np.float32) / 255.0 - CLIP_MEAN) / CLIP_STD
+        return batch, survivors
 
     if out_dtype == "u8":
         batch, ok = native.decode_batch_native_u8(chunk, image_size,
@@ -244,12 +294,12 @@ def _iter_native(self, paths, n):
             if pending is None:
                 pending = executor.submit(_native_decode_chunk, chunk,
                                           self.image_size, self.num_workers,
-                                          self.out_dtype)
+                                          self.out_dtype, self.cache)
                 cur_chunk = chunk
                 continue
             nxt = executor.submit(_native_decode_chunk, chunk,
                                   self.image_size, self.num_workers,
-                                  self.out_dtype)
+                                  self.out_dtype, self.cache)
             batch, survivors = pending.result()
             yield self._emit(batch, cur_chunk, survivors)
             pending, cur_chunk = nxt, chunk

@@ -197,8 +197,12 @@ def run_retrieval_action(action: str, args) -> int:
     gallery_dir, query_dir, gt_path = _corpus(args, image_size)
     image_size = _gallery_image_size(gallery_dir)
     encode = _build_encoder(args, image_size)
+    # decoded-u8 cache: the eval batteries re-encode the same gallery under
+    # bf16/int8/pruned towers — only the FIRST pass pays the PNG decode
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
-                             num_workers=4, input_dtype="u8")
+                             num_workers=4, input_dtype="u8",
+                             cache_dir=os.path.join(args.path,
+                                                    "decoded_cache"))
     prefix = index_prefix(args.path, gallery_dir,
                           getattr(args, "quantize", False),
                           getattr(args, "keep_tokens", None))

@@ -119,7 +119,7 @@ class RetrievalEngine:
                  similarity: Similarity = "cosine", c: float = 1.0,
                  mesh=None, scan_batches: int = 1,
                  encode_many_fn: Callable[[jax.Array], jax.Array] | None = None,
-                 input_dtype: str = "f32"):
+                 input_dtype: str = "f32", cache_dir: str | None = None):
         """``encode_many_fn``: optional [k, B, H, W, 3] → [k, B, D] megabatch
         encoder (e.g. a jitted lax.scan over the model apply with params as
         arguments — see make_scan_encoder).  Amortizes per-dispatch overhead
@@ -133,7 +133,13 @@ class RetrievalEngine:
         conv for free).  The default "f32" feeds host-normalized batches.
         ``encode_fn`` must accept the chosen dtype: make_scan_encoder and
         make_device_normalizing_encoder handle u8; a bare ``model.apply``
-        jit needs f32 — hence u8 is opt-in."""
+        jit needs f32 — hence u8 is opt-in.
+
+        ``cache_dir``: enable the decoded-u8 gallery cache
+        (input.cache.DecodedU8Cache) under this directory — the first
+        encode pass decodes and appends raw rows; every later pass over
+        the same files (the eval batteries' repeated encodes, re-indexing)
+        streams them at cache-read speed instead of decode speed."""
         self.encode_fn = encode_fn
         self.batch_size = batch_size
         self.image_size = image_size
@@ -149,6 +155,11 @@ class RetrievalEngine:
         if self.scan_batches > 1 and encode_many_fn is None:
             raise ValueError("scan_batches > 1 requires encode_many_fn "
                              "(build one with make_scan_encoder)")
+        self._cache = None
+        if cache_dir is not None:
+            from ..input.cache import DecodedU8Cache
+
+            self._cache = DecodedU8Cache(cache_dir, image_size)
         self.index: EmbeddingIndex | None = None
 
     # ------------------------------------------------------------- encoding
@@ -158,7 +169,8 @@ class RetrievalEngine:
         batcher = ImageBatcher(image_paths, batch_size=self.batch_size,
                                image_size=self.image_size,
                                num_workers=self.num_workers,
-                               out_dtype=self.input_dtype)
+                               out_dtype=self.input_dtype,
+                               cache=self._cache)
         embs, names = [], []
         pending: list[tuple[np.ndarray, list[str], int]] = []
 
@@ -186,6 +198,8 @@ class RetrievalEngine:
             if len(pending) >= self.scan_batches:
                 flush()
         flush()
+        if self._cache is not None:
+            self._cache.flush()       # persist manifest for the next pass
         if not embs:
             return np.zeros((0, 0), np.float32), []
         return np.concatenate(embs, axis=0), names

@@ -188,3 +188,83 @@ def test_encode_sharded_matches_single_device(eight_devices):
     np.testing.assert_allclose(np.asarray(out), single, atol=2e-5, rtol=2e-5)
     rules = data_parallel_sharding(mesh)
     assert rules["batch"].spec == P("data")
+
+
+def test_sharded_finetune_step_matches_single_device(eight_devices):
+    """The cell-20 fine-tune step over a (data=4, model=2) mesh equals the
+    single-device step (VERDICT r3 #3): images/node_idx data-sharded,
+    graph table genuinely row-sharded (odd node count → real padding),
+    ViT replicated."""
+    from patent_tpu.models.vit import VisionConfig
+    from patent_tpu.train.finetune_clip import (
+        AlignmentHead, init_finetune_state, make_finetune_step,
+        make_sharded_finetune_step, pad_graph_table, shard_finetune_state)
+    from patent_tpu.utils.config import ClipFinetuneConfig
+
+    vc = VisionConfig(image_size=16, patch_size=8, hidden_dim=16,
+                      num_layers=2, num_heads=2, mlp_dim=32,
+                      projection_dim=16)
+    cfg = ClipFinetuneConfig(batch_size=8, image_size=16,
+                             trainable_blocks=1, graph_proj_dim=8,
+                             keep_tokens=None)
+    rng = np.random.default_rng(0)
+    vgae = rng.standard_normal((21, 12)).astype(np.float32)  # 21 % 2 != 0
+    (vit, head), params, optimizer, opt_state = init_finetune_state(
+        vc, cfg, vgae, seed=0)
+    images = rng.random((16, 16, 16, 3), np.float32)     # anchors ∥ positives
+    node_idx = rng.integers(0, 21, 8).astype(np.int32)
+    alpha = 0.5
+
+    step, _ = make_finetune_step(vit, head, optimizer, cfg)
+    p1, o1, m1 = step(params, opt_state, jnp.asarray(images),
+                      jnp.asarray(node_idx), alpha)
+
+    mesh = make_hyp_mesh(8, model_dim=2, devices=eight_devices)
+    pp, po, real, padded = pad_graph_table(params, opt_state, 2)
+    assert real == 21 and padded == 22
+    head_p = AlignmentHead(num_nodes=padded, graph_dim=cfg.graph_proj_dim,
+                           proj_dim=cfg.graph_proj_dim,
+                           image_dim=vc.projection_dim,
+                           init_tau=cfg.init_tau)
+    sstep, _ev, place_batch = make_sharded_finetune_step(
+        mesh, vit, head_p, optimizer, cfg)
+    sp, so = shard_finetune_state(mesh, pp, po)
+    # the table is actually sharded over model, the ViT replicated
+    table_sh = sp["head"]["graph_embedding"].sharding
+    assert table_sh.spec == P("model")
+    si, sn = place_batch(images, node_idx)
+    p2, o2, m2 = sstep(sp, so, si, sn, alpha)
+
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["head"]["graph_embedding"]),
+        np.asarray(p2["head"]["graph_embedding"])[:real],
+        atol=1e-5, rtol=1e-5)
+    # padded rows stay exactly at zero through the AdamW update
+    np.testing.assert_array_equal(
+        np.asarray(p2["head"]["graph_embedding"])[real:], 0.0)
+    # a trainable ViT leaf matches too (psum'd grads == single-device)
+    k1 = np.asarray(jax.tree_util.tree_leaves(p1["vit"])[0])
+    k2 = np.asarray(jax.tree_util.tree_leaves(p2["vit"])[0])
+    np.testing.assert_allclose(k1, k2, atol=1e-5, rtol=1e-5)
+
+
+def test_sharded_finetune_batch_guard(eight_devices):
+    from patent_tpu.models.vit import VisionConfig
+    from patent_tpu.train.finetune_clip import (
+        init_finetune_state, make_sharded_finetune_step)
+    from patent_tpu.utils.config import ClipFinetuneConfig
+
+    vc = VisionConfig(image_size=16, patch_size=8, hidden_dim=16,
+                      num_layers=1, num_heads=2, mlp_dim=32,
+                      projection_dim=16)
+    cfg = ClipFinetuneConfig(batch_size=8, image_size=16,
+                             trainable_blocks=1, graph_proj_dim=8)
+    vgae = np.random.default_rng(0).standard_normal((8, 8)).astype(np.float32)
+    (vit, head), params, optimizer, _opt = init_finetune_state(
+        vc, cfg, vgae, seed=0)
+    mesh = make_hyp_mesh(8, model_dim=2, devices=eight_devices)
+    _s, _e, place = make_sharded_finetune_step(mesh, vit, head, optimizer,
+                                               cfg)
+    with pytest.raises(ValueError, match="must divide the data axis"):
+        place(np.zeros((6, 16, 16, 3), np.float32), np.zeros(3, np.int32))
