@@ -166,10 +166,19 @@ def bench_embed_pruned(ctx: dict) -> dict:
 
 def bench_embed_bf16(ctx: dict) -> dict:
     """bf16 tower throughput + int8↔bf16 feature agreement on the SAME
-    drawing batch the int8 section used (``ctx`` from bench_embed_int8)."""
+    drawing batch the int8 section used (``ctx`` from bench_embed_int8).
+
+    The tower is the bf16 serving config: whole-layer fused kernel
+    (``fused_layer=True``, ops/bf16_layer.py) — measured 4,518 vs 3,650
+    img/s for the round-3 fused-attention-sublayer path (tools/
+    ab_bf16_layer.py; min cosine 0.999975 between the two)."""
+    import jax.numpy as jnp
+
+    from patent_tpu.models.vit import VIT_B16, VisionTransformer
     from patent_tpu.retrieval.engine import make_scan_encoder
 
-    encode_many = make_scan_encoder(ctx["model"].apply, ctx["params"])
+    model = VisionTransformer(VIT_B16, dtype=jnp.bfloat16, fused_layer=True)
+    encode_many = make_scan_encoder(model.apply, ctx["params"])
     batches, sum_jit = ctx["batches"], ctx["sum_jit"]
     f16 = np.asarray(encode_many(batches), np.float32)    # compile + fetch
     a = f16[0]      # unique images live in every scan slice; one suffices

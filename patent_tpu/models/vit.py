@@ -91,6 +91,28 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _LNParams(nn.Module):
+    """nn.LayerNorm's exact param tree (scale/bias, ones/zeros init) with no
+    computation — fused whole-layer kernels consume the raw vectors."""
+
+    @nn.compact
+    def __call__(self, d: int) -> tuple[jax.Array, jax.Array]:
+        return (self.param("scale", nn.initializers.ones, (d,)),
+                self.param("bias", nn.initializers.zeros, (d,)))
+
+
+class _AttnParams(nn.Module):
+    """Param container with Attention's exact subtree (qkv/out nn.Dense
+    trees) but no computation — the fused whole-layer kernel consumes the
+    raw tensors while staying checkpoint-compatible."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        wqkv, bqkv = _DenseParams(3 * d, name="qkv")(d)
+        wout, bout = _DenseParams(d, name="out")(d)
+        return wqkv, bqkv, wout, bout
+
+
 class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
@@ -139,14 +161,35 @@ class Attention(nn.Module):
 
 
 class TransformerBlock(nn.Module):
+    """One pre-LN layer.  ``fused_layer=True`` (+ ``valid_len``) runs the
+    WHOLE layer as one grouped Pallas program (ops/bf16_layer.py) on a
+    pre-padded token stream — the bf16 serving path (inference-only, no
+    VJP); same param tree as the per-op path, so any checkpoint serves
+    fused."""
+
     num_heads: int
     mlp_dim: int
     dtype: Any = jnp.float32
     use_flash: bool = False
     fused_block: bool = False
+    fused_layer: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    def __call__(self, x: jax.Array, mask: jax.Array | None = None,
+                 valid_len: int | None = None) -> jax.Array:
+        if self.fused_layer and mask is None:
+            from ..ops.bf16_layer import fused_layer_block_bf16
+
+            d = x.shape[-1]
+            ln1_s, ln1_b = _LNParams(name="ln1")(d)
+            wqkv, bqkv, wout, bout = _AttnParams(name="attn")(d)
+            ln2_s, ln2_b = _LNParams(name="ln2")(d)
+            w1, b1 = _DenseParams(self.mlp_dim, name="mlp_in")(d)
+            w2, b2 = _DenseParams(d, name="mlp_out")(self.mlp_dim)
+            return fused_layer_block_bf16(
+                x.astype(self.dtype), ln1_s, ln1_b, wqkv, bqkv, wout, bout,
+                ln2_s, ln2_b, w1, b1, w2, b2, self.num_heads,
+                valid_len=valid_len)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x)
         x = x + Attention(self.num_heads, dtype=self.dtype,
                           use_flash=self.use_flash,
@@ -225,6 +268,7 @@ class VisionTransformer(nn.Module):
     remat: bool = False
     use_flash: bool = False   # fused Pallas attention on TPU
     fused_block: bool = False  # whole attention sub-layer as one kernel
+    fused_layer: bool = False  # WHOLE layer as one kernel (inference only)
     keep_tokens: int | None = None
 
     @nn.compact
@@ -253,13 +297,30 @@ class VisionTransformer(nn.Module):
                                   pos.astype(self.dtype), self.keep_tokens)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="pre_ln")(x)
 
+        # fused_layer: pad the token axis ONCE for the whole stack (bf16
+        # sublane tile = 16; 197 → 208) — the same pre-padded-stream
+        # contract as the int8 tower; each block masks pad KEYS via
+        # valid_len and the CLS row (index 0) is always valid
+        valid_len = None
+        if self.fused_layer:
+            from ..ops.bf16_layer import required_seq_pad_bf16
+
+            seq = x.shape[1]
+            seq_pad = required_seq_pad_bf16(seq)
+            if seq_pad != seq:
+                x = jnp.pad(x.astype(self.dtype),
+                            ((0, 0), (0, seq_pad - seq), (0, 0)))
+            valid_len = seq
+
         block = TransformerBlock
         if self.remat:
             block = nn.remat(TransformerBlock)
         for i in range(cfg.num_layers):
-            x = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
-                      use_flash=self.use_flash, fused_block=self.fused_block,
-                      name=f"block_{i}")(x)
+            blk = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
+                        use_flash=self.use_flash,
+                        fused_block=self.fused_block,
+                        fused_layer=self.fused_layer, name=f"block_{i}")
+            x = blk(x, valid_len=valid_len) if self.fused_layer else blk(x)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,

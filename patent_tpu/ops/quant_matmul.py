@@ -836,6 +836,165 @@ def _qlayer_impl(x, ln1s, ln1b, wqkv, sqkv, bqkv, wout, sout, bout, ln2s,
       w1, s1, b1, w2, s2, b2)
 
 
+def _qlayer_group_kernel(x_ref, lns1_ref, lnb1_ref, wqkv_ref, sqkv_ref,
+                         bqkv_ref, wout_ref, sout_ref, bout_ref, lns2_ref,
+                         lnb2_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                         b2_ref, o_ref, *, seq_len: int, num_heads: int,
+                         head_dim: int, group: int, fast: bool,
+                         mlp_split: int):
+    """WHOLE pre-LN layer for ``group`` images per grid step — the int8
+    twin of ops/bf16_layer._bf16_layer_kernel, combining the grouped
+    attention body (_qattn_group_kernel) and the flattened-M MLP body in
+    ONE program so the residual stream touches HBM once per LAYER instead
+    of once per sub-layer.
+
+    At group=2 (M = 416 rows) the qkv projection runs as ONE [D, 3D] int8
+    dot — the f32 accumulator [416, 2304] fits VMEM comfortably, unlike
+    the g4 attention kernel that must split q/k/v.  ``mlp_split`` chunks
+    the MLP rows (VPU/MXU overlap + smaller hidden footprint), same trick
+    as _qmlp_block_kernel.
+    """
+    quant = _quant_rows_k if fast else _quant_rows
+    g, sp, d = x_ref.shape
+    xa = x_ref[...].astype(jnp.float32).reshape(g * sp, d)
+
+    # ---- attention sub-layer ----
+    h = _layernorm_f32(xa, lns1_ref[...], lnb1_ref[...])
+    hq, hs = quant(h)
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+    colid = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * d), 1)
+    qcol = colid < d                                  # fold scale into q
+    sqkv = jnp.where(qcol, sqkv_ref[...] * scale, sqkv_ref[...])
+    bqkv = jnp.where(qcol, bqkv_ref[...] * scale, bqkv_ref[...])
+    qkv16 = ((jax.lax.dot(hq, wqkv_ref[...],
+                          preferred_element_type=jnp.int32)
+              .astype(jnp.float32) * hs * sqkv + bqkv)
+             .astype(jnp.bfloat16))                       # [G·Sp, 3D]
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    valid = (rowi < seq_len).astype(jnp.bfloat16)
+    aos = []
+    for gi in range(g):
+        r0 = gi * sp
+        heads = []
+        for i in range(num_heads):
+            lo = i * head_dim
+            q = qkv16[r0:r0 + sp, lo:lo + head_dim]
+            k = qkv16[r0:r0 + sp, d + lo:d + lo + head_dim]
+            v = qkv16[r0:r0 + sp, 2 * d + lo:2 * d + lo + head_dim]
+            v_ext = jnp.concatenate([v * valid, valid], axis=1)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO,
+                                  SCORE_CLAMP_HI)).astype(jnp.bfloat16)
+            o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+            den = o_ext[:, head_dim:head_dim + 1]
+            heads.append(o_ext[:, :head_dim] * _recip(den) if fast
+                         else o_ext[:, :head_dim] / den)
+        aos.append(jnp.concatenate(heads, axis=1))
+    ao = jnp.concatenate(aos, axis=0)                     # [G·Sp, D]
+    aq, ascale = quant(ao)
+    x1 = xa + (jax.lax.dot(aq, wout_ref[...],
+                           preferred_element_type=jnp.int32)
+               .astype(jnp.float32) * ascale * sout_ref[...]
+               + bout_ref[...])
+
+    # ---- MLP sub-layer, hidden VMEM-only ----
+    m = g * sp
+    mc = m // mlp_split
+    out = jnp.concatenate(
+        [_mlp_sublayer_f32(x1[i * mc:(i + 1) * mc], lns2_ref[...],
+                           lnb2_ref[...], w1_ref, s1_ref[...], b1_ref[...],
+                           w2_ref, s2_ref[...], b2_ref[...], fast=fast)
+         for i in range(mlp_split)], axis=0)
+    o_ref[...] = (x1 + out).reshape(g, sp, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "out_dtype",
+                                             "group", "fast", "mlp_split"))
+def _qlayer_group_impl(x, lns1, lnb1, wqkv, sqkv, bqkv, wout, sout, bout,
+                       lns2, lnb2, w1, s1, b1, w2, s2, b2, seq_len,
+                       num_heads, head_dim, out_dtype, group, fast=True,
+                       mlp_split=2):
+    b, sp, d = x.shape
+    mlp_dim = w1.shape[1]
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 3 * d + 4 * sp * sp * d + 2 * sp * d * d
+                 + 4 * sp * d * mlp_dim)
+    return pl.pallas_call(
+        functools.partial(_qlayer_group_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          group=group, fast=fast, mlp_split=mlp_split),
+        grid=(b // group,),
+        in_specs=[xspec,
+                  const(lns1.shape), const(lnb1.shape),
+                  const(wqkv.shape), const(sqkv.shape), const(bqkv.shape),
+                  const(wout.shape), const(sout.shape), const(bout.shape),
+                  const(lns2.shape), const(lnb2.shape),
+                  const(w1.shape), const(s1.shape), const(b1.shape),
+                  const(w2.shape), const(s2.shape), const(b2.shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, sp, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * 2 * b * sp * d + 4 * d * d + 2 * d * mlp_dim,
+            transcendentals=b * (num_heads * sp * sp + sp * mlp_dim)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, lns1, lnb1, wqkv, sqkv, bqkv, wout, sout, bout, lns2, lnb2,
+      w1, s1, b1, w2, s2, b2)
+
+
+def quant_layer_group(x: jax.Array,
+                      ln1_scale: jax.Array, ln1_bias: jax.Array,
+                      wqkv_i8: jax.Array, sqkv: jax.Array, bqkv: jax.Array,
+                      wout_i8: jax.Array, sout: jax.Array, bout: jax.Array,
+                      ln2_scale: jax.Array, ln2_bias: jax.Array,
+                      w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
+                      w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
+                      num_heads: int, valid_len: int | None = None,
+                      group: int = 2, mlp_split: int = 2,
+                      force: bool = False,
+                      fast: bool | None = None) -> jax.Array:
+    """One WHOLE pre-LN transformer layer for ``group`` images per grid
+    step (see _qlayer_group_kernel).  Pre-padded-stream contract as the
+    grouped attention path: S a multiple of 16 with group·S a multiple of
+    32, ``valid_len`` = true length.  Falls back to the attention+MLP
+    kernel pair for ragged batches, and to the XLA oracle off-TPU.
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    on = _HAS_PALLAS and (_on_tpu() or force)
+    if not on or b % group != 0 or valid_len is None:
+        x = quant_attention_block(x, ln1_scale, ln1_bias, wqkv_i8, sqkv,
+                                  bqkv, wout_i8, sout, bout, num_heads,
+                                  valid_len=valid_len, force=force,
+                                  group=group if b % group == 0 else 1,
+                                  fast=fast)
+        return quant_mlp_block(x, ln2_scale, ln2_bias, w1_i8, s1, b1,
+                               w2_i8, s2, b2, force=force, fast=fast)
+    if required_seq_pad(s, group) != s:
+        raise ValueError(f"grouped pre-padded S={s} must be a multiple of "
+                         f"16 with group·S a multiple of 32")
+
+    def row(v):
+        return v.reshape(1, -1).astype(jnp.float32)
+
+    return _qlayer_group_impl(
+        x, row(ln1_scale), row(ln1_bias), wqkv_i8, row(sqkv), row(bqkv),
+        wout_i8, row(sout), row(bout), row(ln2_scale), row(ln2_bias),
+        w1_i8, row(s1), row(b1), w2_i8, row(s2), row(b2), valid_len,
+        num_heads, head_dim, jnp.dtype(x.dtype).name, group, _fast(fast),
+        mlp_split)
+
+
 def quant_layer_block(x: jax.Array,
                       ln1_scale: jax.Array, ln1_bias: jax.Array,
                       wqkv_i8: jax.Array, sqkv: jax.Array, bqkv: jax.Array,

@@ -60,10 +60,12 @@ def _build_encoder(args, image_size: int):
                   f"serving the exact (unpruned) tower")
             keep = None
         args.keep_tokens = keep
-    # fused_block: whole attention sub-layer as one Pallas kernel — +11%
-    # in-model over plain XLA on v5e (3,382 vs 3,051 img/s, cos 0.99999);
-    # inference-only (no VJP), which is exactly this serving path
-    model = VisionTransformer(config, dtype=jnp.bfloat16, fused_block=True,
+    # fused_layer: the WHOLE transformer layer as one Pallas kernel
+    # (ops/bf16_layer.py) — 4,518 vs 3,650 img/s over the round-3
+    # fused-attention-sublayer path on v5e (tools/ab_bf16_layer.py,
+    # min cos 0.999975), by keeping the MLP hidden + LN/residual stream
+    # in VMEM; inference-only (no VJP), which is exactly this serving path
+    model = VisionTransformer(config, dtype=jnp.bfloat16, fused_layer=True,
                               keep_tokens=keep)
     finetuned = os.path.join(args.path, "models", "clip_finetune_best")
     if args.checkpoint and os.path.isdir(args.checkpoint):

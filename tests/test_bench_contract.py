@@ -123,11 +123,13 @@ def test_timed_throughput_hiccup_never_nonphysical():
     bench = load_bench()
 
     # small run hiccups EVERY time: fall back to n_large/t_large
-    times = iter([0.0, 5.0,        # t_small = 5 (hiccup)
-                  5.0, 6.0,        # t_large = 1
-                  6.0, 11.0,       # retry small: 5 again
-                  11.0, 16.0,      # retry small: 5
-                  16.0, 21.0])     # retry small: 5 → fall back
+    # (the small run is always measured TWICE up front, min kept)
+    times = iter([0.0, 5.0,        # t_small sample 1: 5 (hiccup)
+                  5.0, 10.0,       # t_small sample 2: 5 (hiccup) → min 5
+                  10.0, 11.0,      # t_large = 1
+                  11.0, 16.0,      # retry small: 5 again
+                  16.0, 21.0,      # retry small: 5
+                  21.0, 26.0])     # retry small: 5 → fall back
     orig = bench.time.perf_counter
     bench.time.perf_counter = lambda: next(times)
     try:
@@ -137,10 +139,13 @@ def test_timed_throughput_hiccup_never_nonphysical():
         bench.time.perf_counter = orig
     assert rate == pytest.approx(8 / 1.0)    # undifferenced fallback
 
-    # one transient hiccup: the retried small run recovers the difference
-    times = iter([0.0, 5.0,        # t_small = 5 (hiccup)
-                  5.0, 9.0,        # t_large = 4
-                  9.0, 10.0])      # retry small: 1 → dt = 3
+    # one transient hiccup on the FIRST small sample: the second up-front
+    # sample recovers the true overhead — this is the exact mechanism of
+    # round-3's one-off 8,686 img/s outlier (an inflated t_small shrinks
+    # dt and INFLATES the differenced rate without tripping the 5% floor)
+    times = iter([0.0, 5.0,        # t_small sample 1: 5 (hiccup)
+                  5.0, 6.0,        # t_small sample 2: 1 → min 1
+                  6.0, 10.0])      # t_large = 4 → dt = 3
     bench.time.perf_counter = lambda: next(times)
     try:
         rate = bench._timed_throughput(lambda: None, lambda o: o,
@@ -156,9 +161,10 @@ def test_timed_throughput_large_run_hiccup_retried():
     the scaled t_small triggers one re-measure of the large run."""
     from patent_tpu.utils import timing
 
-    times = iter([0.0, 0.2,        # t_small = 0.2 (clean)
-                  0.2, 6.2,        # t_large = 6.0 (hiccup: > 3·(8/2)·0.2)
-                  6.2, 7.0])       # retry large: 0.8 → dt = 0.6
+    times = iter([0.0, 0.2,        # t_small sample 1: 0.2 (clean)
+                  0.2, 0.4,        # t_small sample 2: 0.2 → min 0.2
+                  0.4, 6.4,        # t_large = 6.0 (hiccup: > 3·(8/2)·0.2)
+                  6.4, 7.2])       # retry large: 0.8 → dt = 0.6
     orig = timing.time.perf_counter
     timing.time.perf_counter = lambda: next(times)
     try:
