@@ -173,12 +173,14 @@ class TransformerBlock(nn.Module):
     use_flash: bool = False
     fused_block: bool = False
     fused_layer: bool = False
+    cls_only: bool = False  # LAST layer of the fused serving stack: [B, D]
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  valid_len: int | None = None) -> jax.Array:
         if self.fused_layer and mask is None:
-            from ..ops.bf16_layer import fused_layer_block_bf16
+            from ..ops.bf16_layer import (fused_layer_block_bf16,
+                                          fused_layer_cls_bf16)
 
             d = x.shape[-1]
             ln1_s, ln1_b = _LNParams(name="ln1")(d)
@@ -186,7 +188,9 @@ class TransformerBlock(nn.Module):
             ln2_s, ln2_b = _LNParams(name="ln2")(d)
             w1, b1 = _DenseParams(self.mlp_dim, name="mlp_in")(d)
             w2, b2 = _DenseParams(d, name="mlp_out")(self.mlp_dim)
-            return fused_layer_block_bf16(
+            fn = fused_layer_cls_bf16 if self.cls_only \
+                else fused_layer_block_bf16
+            return fn(
                 x.astype(self.dtype), ln1_s, ln1_b, wqkv, bqkv, wout, bout,
                 ln2_s, ln2_b, w1, b1, w2, b2, self.num_heads,
                 valid_len=valid_len)
@@ -316,13 +320,20 @@ class VisionTransformer(nn.Module):
         if self.remat:
             block = nn.remat(TransformerBlock)
         for i in range(cfg.num_layers):
+            # fused serving stack: only the CLS row survives, so the LAST
+            # layer skips the per-head/out-proj/MLP work for the other
+            # S−1 rows and returns [B, D] (ops/bf16_layer.fused_layer_cls_bf16)
+            last_cls = self.fused_layer and i == cfg.num_layers - 1
             blk = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                         use_flash=self.use_flash,
                         fused_block=self.fused_block,
-                        fused_layer=self.fused_layer, name=f"block_{i}")
+                        fused_layer=self.fused_layer, cls_only=last_cls,
+                        name=f"block_{i}")
             x = blk(x, valid_len=valid_len) if self.fused_layer else blk(x)
 
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])  # CLS
+        if not self.fused_layer:
+            x = x[:, 0]  # CLS
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x)
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="projection")(x)
 

@@ -20,7 +20,8 @@ past 5.1k; the approx-reciprocal fast path — quant_matmul._recip — past
 5.6k; 4-image grouped attention — full 128-row MXU tiles,
 ``_qattn_group_kernel`` — past 6.1k; S padded to 208 instead of 224 under
 grouping past 6.5k; MLP m_tile=512/split=4 VPU/MXU-overlap sub-chains
-past 7.2k).  Patch
+past 7.2k; the CLS-only last layer — ``Int8CLSBlock``, bit-identical —
+past 7.7k).  Patch
 embedding, layernorms, softmax, and the final projection stay in bf16/f32:
 they are a tiny FLOP fraction and quantizing them costs accuracy.
 ``quantize_vit_params`` converts a trained ``VisionTransformer`` param tree;
@@ -35,8 +36,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.quant_matmul import (quant_attention_block, quant_dense,
-                                required_seq_pad,
+from ..ops.quant_matmul import (quant_attention_block, quant_attention_cls,
+                                quant_dense, required_seq_pad,
                                 quant_layer_block, quant_mlp_block,
                                 quantize_weight)
 from .vit import VIT_B16, VisionConfig
@@ -157,6 +158,46 @@ class Int8Block(nn.Module):
                                  self.num_heads, valid_len=valid_len)
 
 
+class Int8CLSBlock(nn.Module):
+    """The LAST transformer layer, specialized to a CLS read-out: consumes
+    [B, S, D], returns [B, D] — the CLS row after attention + MLP (both
+    residuals included).  Only the CLS row survives the stack
+    (Int8VisionTransformer takes ``x[:, 0]``), so the full layer's per-head
+    block / output projection / MLP over the other S−1 rows is skipped
+    (ops/quant_matmul.quant_attention_cls; the MLP runs on [B, D] rows).
+    Same param subtree as Int8Block → checkpoints and
+    ``quantize_vit_params`` are unchanged; output is BIT-IDENTICAL to
+    Int8Block + row-0 slice (per-row LN/quant/MLP independence + identical
+    dot chains for row 0 — asserted on hardware in
+    tests/test_quant_matmul.py)."""
+
+    num_heads: int
+    mlp_dim: int
+    dtype: Any = jnp.bfloat16
+    attn_group: int = 0
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 valid_len: int | None = None) -> jax.Array:
+        d = x.shape[-1]
+        ln1_s, ln1_b = _LNParams(name="ln1")(d)
+        wq, sq, bq, wo, so, bo = _AttnParams(name="attn")(d)
+        ln2_s, ln2_b = _LNParams(name="ln2")(d)
+        w1 = self.param("mlp_in_w", nn.initializers.zeros,
+                        (d, self.mlp_dim), jnp.int8)
+        s1 = self.param("mlp_in_s", nn.initializers.ones, (self.mlp_dim,))
+        b1 = self.param("mlp_in_b", nn.initializers.zeros, (self.mlp_dim,))
+        w2 = self.param("mlp_out_w", nn.initializers.zeros,
+                        (self.mlp_dim, d), jnp.int8)
+        s2 = self.param("mlp_out_s", nn.initializers.ones, (d,))
+        b2 = self.param("mlp_out_b", nn.initializers.zeros, (d,))
+        cls = quant_attention_cls(x, ln1_s, ln1_b, wq, sq, bq, wo, so, bo,
+                                  self.num_heads, valid_len=valid_len,
+                                  group=self.attn_group or 4)
+        return quant_mlp_block(cls, ln2_s, ln2_b, w1, s1, b1,
+                               w2, s2, b2, m_tile=128)
+
+
 class Int8VisionTransformer(nn.Module):
     """Int8 serving twin of ``VisionTransformer`` (same pytree leaf names for
     the non-quantized pieces, so ``quantize_vit_params`` is a pure re-pack).
@@ -205,11 +246,17 @@ class Int8VisionTransformer(nn.Module):
         seq_pad = required_seq_pad(seq, group if group else 1)
         if seq_pad != seq:
             x = jnp.pad(x, ((0, 0), (0, seq_pad - seq), (0, 0)))
-        for i in range(cfg.num_layers):
+        for i in range(cfg.num_layers - 1):
             x = Int8Block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                           attn_group=group,
                           name=f"block_{i}")(x, valid_len=seq)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x[:, 0])
+        # only the CLS row survives the stack — the last layer skips the
+        # per-head / out-proj / MLP work for the other S−1 rows (bit-
+        # identical output, ~8 µs/img on the serving config)
+        x = Int8CLSBlock(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
+                         attn_group=group,
+                         name=f"block_{cfg.num_layers - 1}")(x, valid_len=seq)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="post_ln")(x)
         return nn.Dense(cfg.projection_dim, use_bias=False, dtype=jnp.float32,
                         name="projection")(x)
 

@@ -191,6 +191,156 @@ def _bf16_layer_impl(x, ln1s, ln1b, wqkv, bqkv, wout, bout, ln2s, ln2b,
     )(x, ln1s, ln1b, wqkv, bqkv, wout, bout, ln2s, ln2b, w1, b1, w2, b2)
 
 
+def _bf16_layer_cls_kernel(x_ref, ln1s_ref, ln1b_ref, wq_ref, wkv_ref,
+                           bq_ref, bkv_ref, wout_ref, bout_ref, ln2s_ref,
+                           ln2b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                           *, seq_len: int, num_heads: int, head_dim: int,
+                           group: int):
+    """The LAST layer of a CLS-read-out ViT: whole pre-LN layer (attention
+    + MLP, both residuals) computing ONLY the CLS (row-0) output — [G, D]
+    per grid step instead of [G·Sp, D].
+
+    Only row 0 survives the stack (``VisionTransformer`` post_ln on
+    ``x[:, 0]``), so the last layer's per-head block, output projection and
+    MLP over the other Sp−1 rows is pure waste.  What the CLS row DOES
+    need stays full-stream: LN1 and the K/V projections.  The q
+    projection, score dots ([1, hd]×[hd, Sp]), pv dots, out-proj, LN2 and
+    MLP all shrink to the G CLS rows.  bf16 twin of
+    ``quant_matmul._qattn_cls_group_kernel`` — same exactness argument
+    (row-local LN, identical dot chains for row 0 ⇒ identical bits on the
+    MXU, asserted on hardware; CPU interpret mode reassociates f32 sums
+    so tests pin a tight tolerance instead)."""
+    g, sp, d = x_ref.shape
+    xa = x_ref[...].astype(jnp.float32).reshape(g * sp, d)
+    h = _layernorm_f32(xa, ln1s_ref[...], ln1b_ref[...]).astype(jnp.bfloat16)
+    kv = (jax.lax.dot_general(
+        h, wkv_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bkv_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)  # [G·Sp, 2D]
+    x_cls = x_ref[:, 0, :].astype(jnp.float32)                    # [G, D]
+    h_cls = _layernorm_f32(x_cls, ln1s_ref[...],
+                           ln1b_ref[...]).astype(jnp.bfloat16)
+    q_all = (jax.lax.dot_general(
+        h_cls, wq_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bq_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)   # [G, D]
+    valid = _valid_col(sp, seq_len, jnp.bfloat16)
+    outs = []
+    for gi in range(group):
+        r0 = gi * sp
+        heads = []
+        for i in range(num_heads):
+            lo = i * head_dim
+            q = q_all[gi:gi + 1, lo:lo + head_dim]
+            k = kv[r0:r0 + sp, lo:lo + head_dim]
+            v = kv[r0:r0 + sp, d + lo:d + lo + head_dim]
+            v_ext = jnp.concatenate([v * valid, valid], axis=1)
+            heads.append(_one_pass_softmax_pv(q, k, v_ext, head_dim))
+        outs.append(jnp.concatenate(heads, axis=1))
+    ao = jnp.concatenate(outs, axis=0).astype(jnp.bfloat16)       # [G, D]
+    x1 = (x_cls + jax.lax.dot_general(
+        ao, wout_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + bout_ref[...].astype(jnp.float32))                      # [G, D] f32
+    h2 = _layernorm_f32(x1, ln2s_ref[...],
+                        ln2b_ref[...]).astype(jnp.bfloat16)
+    gl = (jax.lax.dot_general(
+        h2, w1_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b1_ref[...].astype(jnp.float32))
+    ac = (gl / (1.0 + jnp.exp2(_NEG_1702_LOG2E * gl))).astype(jnp.bfloat16)
+    out = (jax.lax.dot_general(
+        ac, w2_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+        + b2_ref[...].astype(jnp.float32))
+    # [G, 1, D] carrier: Mosaic block shapes need the last two dims
+    # tile-aligned or equal to the array's, and G < 8 sublanes
+    o_ref[...] = (x1 + out).reshape(group, 1, d).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "group",
+                                             "out_dtype"))
+def _bf16_layer_cls_impl(x, ln1s, ln1b, wq, wkv, bq, bkv, wout, bout, ln2s,
+                         ln2b, w1, b1, w2, b2, seq_len, num_heads, head_dim,
+                         group, out_dtype):
+    b, sp, d = x.shape
+    mlp_dim = w1.shape[1]
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 2 * d + 2 * d * d + 4 * sp * d + 2 * d * d
+                 + 4 * d * mlp_dim)
+    return pl.pallas_call(
+        functools.partial(_bf16_layer_cls_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          group=group),
+        grid=(b // group,),
+        in_specs=[xspec,
+                  const(ln1s.shape), const(ln1b.shape),
+                  const(wq.shape), const(wkv.shape),
+                  const(bq.shape), const(bkv.shape),
+                  const(wout.shape), const(bout.shape),
+                  const(ln2s.shape), const(ln2b.shape),
+                  const(w1.shape), const(b1.shape),
+                  const(w2.shape), const(b2.shape)],
+        out_specs=pl.BlockSpec((group, 1, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * b * sp * d + 8 * d * d + 4 * d * mlp_dim,
+            transcendentals=b * (num_heads * sp + mlp_dim)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+    )(x, ln1s, ln1b, wq, wkv, bq, bkv, wout, bout, ln2s, ln2b,
+      w1, b1, w2, b2)
+
+
+def fused_layer_cls_bf16(x: jax.Array,
+                         ln1_scale: jax.Array, ln1_bias: jax.Array,
+                         wqkv: jax.Array, bqkv: jax.Array,
+                         wout: jax.Array, bout: jax.Array,
+                         ln2_scale: jax.Array, ln2_bias: jax.Array,
+                         w1: jax.Array, b1: jax.Array,
+                         w2: jax.Array, b2: jax.Array,
+                         num_heads: int,
+                         valid_len: int | None = None,
+                         group: int = 2,
+                         force: bool = False) -> jax.Array:
+    """Row 0 (CLS) of ``fused_layer_block_bf16(...)`` — the whole last
+    layer specialized to the CLS read-out, returns [B, D].  Same args/
+    contracts as ``fused_layer_block_bf16``; anything outside the fused
+    serving configuration falls back to the full layer + row slice."""
+    b, s, d = x.shape
+    if (_HAS_PALLAS and (_on_tpu() or force) and b % group == 0
+            and valid_len is not None and s % 16 == 0):
+        scale2 = float(np.log2(np.e) / np.sqrt(d // num_heads))
+        bq_f = (bqkv.reshape(-1)[:d] * scale2).reshape(1, -1)
+
+        def row(v):
+            return v.reshape(1, -1).astype(jnp.float32)
+
+        return _bf16_layer_cls_impl(
+            x, row(ln1_scale), row(ln1_bias),
+            (wqkv[:, :d] * scale2).astype(jnp.bfloat16),
+            wqkv[:, d:].astype(jnp.bfloat16), bq_f.astype(jnp.float32),
+            bqkv.reshape(1, -1)[:, d:].astype(jnp.float32),
+            wout.astype(jnp.bfloat16), row(bout), row(ln2_scale),
+            row(ln2_bias), w1.astype(jnp.bfloat16), row(b1),
+            w2.astype(jnp.bfloat16), row(b2), valid_len, num_heads,
+            d // num_heads, group, jnp.dtype(x.dtype).name)[:, 0, :]
+    return fused_layer_block_bf16(
+        x, ln1_scale, ln1_bias, wqkv, bqkv, wout, bout, ln2_scale, ln2_bias,
+        w1, b1, w2, b2, num_heads, valid_len=valid_len, group=group,
+        force=force)[:, 0, :]
+
+
 def fused_layer_block_bf16(x: jax.Array,
                            ln1_scale: jax.Array, ln1_bias: jax.Array,
                            wqkv: jax.Array, bqkv: jax.Array,

@@ -469,6 +469,7 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                         sqkv_ref, bqkv_ref, wout_ref, sout_ref, bout_ref,
                         o_ref, *, seq_len: int, num_heads: int,
                         head_dim: int, group: int, fast: bool,
+                        score_i8: bool = False,
                         probe: str | None = None):
     """``group`` images per grid step: every int8 projection runs at
     M = group·Sp rows.  The MXU rounds M up to the next 128-row tile, so
@@ -494,6 +495,9 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
     def proj(w_ref, sl, fold):
         acc = jax.lax.dot(hq, w_ref[...], preferred_element_type=jnp.int32)
+        if probe == "raw_qkv":
+            # timing ONLY: skip the dequant (scale mult + bias) passes
+            return (acc >> 7).astype(jnp.bfloat16)
         f = scale if fold else 1.0
         return (acc.astype(jnp.float32) * hs * (sqkv_ref[:, sl] * f)
                 + bqkv_ref[:, sl] * f).astype(jnp.bfloat16)
@@ -503,34 +507,139 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
     v16 = proj(wv_ref, slice(2 * d, 3 * d), False)
     rowi = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
     valid = (rowi < seq_len).astype(jnp.bfloat16)
-    aos = []
-    for gi in range(g):
-        r0 = gi * sp
-        heads = []
+    if score_i8:
+        # int8 score dots, quantized in TWO whole-stream VPU passes (a
+        # per-head quant chain measured 12 µs/img SLOWER — the small
+        # serial VPU chains don't hide in the latency-bound head loop).
+        # q keeps per-ROW scales (broadcast over score columns); k takes
+        # ONE global scale (a per-row k scale would need a [Sp,1]→[1,Sp]
+        # transpose — a slow Mosaic relayout).  Rows mix heads in the q
+        # scale; pre-softmax scores tolerate the ~2^-7 relative noise
+        # (feature cosine measured in bench.py / tests).
+        qf = q16.astype(jnp.float32)
+        qamax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                            1e-8)
+        qq_all = jnp.round(qf * (_recip(qamax) * 127.0)).astype(jnp.int8)
+        qs_all = qamax * (1.0 / 127.0)                     # [G·Sp, 1]
+        kf = k16.astype(jnp.float32)
+        kamax = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1),
+                                    keepdims=True), 1e-8)
+        kq_all = jnp.round(kf * (_recip(kamax) * 127.0)).astype(jnp.int8)
+        ksc = kamax * (1.0 / 127.0)                        # [1, 1]
+    if probe == "headless":
+        # timing decomposition ONLY: skip the whole per-head block —
+        # isolates the projection+quant share of the kernel.
+        ao = v16.astype(jnp.float32)
+    elif probe == "head_major":
+        # HEAD-MAJOR restructure of the per-head block: one lane slice
+        # per head over the whole [G·Sp, D] group stream (4× fewer lane
+        # slices — half of today's 64-lane-offset slices need a lane
+        # rotate), images stacked on SUBLANES so exp2/cast/recip run as
+        # 12 big [G·Sp, ·] VPU passes instead of 48 small [Sp, ·] ones.
+        # The 96 score/pv MXU dots are unchanged (per-image sublane
+        # slices of the stacked operands are tile-aligned and free).
+        rowg = jax.lax.broadcasted_iota(jnp.int32, (g * sp, 1), 0)
+        valid_g = ((rowg % sp) < seq_len).astype(jnp.bfloat16)
+        head_cols = []
         for i in range(num_heads):
             lo = i * head_dim
-            q = q16[r0:r0 + sp, lo:lo + head_dim]
-            k = k16[r0:r0 + sp, lo:lo + head_dim]
-            v = v16[r0:r0 + sp, lo:lo + head_dim]
-            v_ext = jnp.concatenate([v * valid, valid], axis=1)
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            # probe="no_exp2" (timing decomposition ONLY — output is NOT a
-            # softmax): skip the exp2 pass to expose its share of the
-            # kernel time.  tools/ab_attn_cost.py is the only prober;
-            # measured share ≈ 0 (exp2 rides the MXU shadow).
-            sc = jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)
-            if probe == "no_exp2":
-                p = sc.astype(jnp.bfloat16)
+            qh = q16[:, lo:lo + head_dim]
+            kh = k16[:, lo:lo + head_dim]
+            vh_ext = jnp.concatenate(
+                [v16[:, lo:lo + head_dim] * valid_g, valid_g], axis=1)
+            s_all = jnp.concatenate(
+                [jax.lax.dot_general(
+                    qh[gi * sp:(gi + 1) * sp], kh[gi * sp:(gi + 1) * sp],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                 for gi in range(g)], axis=0)             # [G·Sp, Sp]
+            p_all = jnp.exp2(jnp.clip(s_all, SCORE_CLAMP_LO,
+                                      SCORE_CLAMP_HI)).astype(jnp.bfloat16)
+            o_all = jnp.concatenate(
+                [jax.lax.dot(p_all[gi * sp:(gi + 1) * sp],
+                             vh_ext[gi * sp:(gi + 1) * sp],
+                             preferred_element_type=jnp.float32)
+                 for gi in range(g)], axis=0)             # [G·Sp, hd+1]
+            den = o_all[:, head_dim:head_dim + 1]
+            head_cols.append(o_all[:, :head_dim] * _recip(den) if fast
+                             else o_all[:, :head_dim] / den)
+        ao = jnp.concatenate(head_cols, axis=1)           # [G·Sp, D]
+    else:
+        aos = []
+        # probe="half_heads" (timing ONLY): run every other head chain and
+        # duplicate its output — the time drop is the marginal cost of 6
+        # whole per-head chains (dots + glue + serialization)
+        head_iter = (range(0, num_heads, 2) if probe == "half_heads"
+                     else range(num_heads))
+        for gi in range(g):
+            r0 = gi * sp
+            heads = []
+            for i in head_iter:
+                lo = i * head_dim
+                q = q16[r0:r0 + sp, lo:lo + head_dim]
+                k = k16[r0:r0 + sp, lo:lo + head_dim]
+                v = v16[r0:r0 + sp, lo:lo + head_dim]
+                if probe == "no_vext":
+                    # timing ONLY: raw v, no pad-key mask / den column
+                    v_ext = v
+                else:
+                    v_ext = jnp.concatenate([v * valid, valid], axis=1)
+                if probe == "no_score":
+                    # timing ONLY: replace the [Sp,64]x[64,Sp] score dot
+                    # with an iota ramp scaled by a q element (no
+                    # transpose/relayout — exposes the dot's true share)
+                    s = (jax.lax.broadcasted_iota(jnp.int32, (sp, sp), 1)
+                         .astype(jnp.float32)
+                         * (q[:, :1].astype(jnp.float32) * 1e-4))
+                elif score_i8:
+                    # int8 score dots: the v5e MXU runs int8 at 2× the
+                    # bf16 rate, and at K=64 (half-empty K tiles either
+                    # way) the bf16 score dots are the single most
+                    # shape-inefficient MXU work in the kernel (measured
+                    # 14.3 µs/img of the 12-layer stack); operands are
+                    # pre-quantized in whole-stream passes above
+                    s32 = jax.lax.dot_general(
+                        qq_all[r0:r0 + sp, lo:lo + head_dim],
+                        kq_all[r0:r0 + sp, lo:lo + head_dim],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    s = s32.astype(jnp.float32) * (qs_all[r0:r0 + sp] * ksc)
+                else:
+                    s = jax.lax.dot_general(
+                        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                # probe="no_exp2" (timing decomposition ONLY — output is
+                # NOT a softmax): skip the exp2 pass to expose its share
+                # of the kernel time.  tools/ab_attn_cost.py is the only
+                # prober; measured share ≈ 0 (exp2 rides the MXU shadow).
+                sc = jnp.clip(s, SCORE_CLAMP_LO, SCORE_CLAMP_HI)
+                if probe == "no_exp2":
+                    p = sc.astype(jnp.bfloat16)
+                else:
+                    p = jnp.exp2(sc).astype(jnp.bfloat16)
+                if probe == "no_pv":
+                    # timing ONLY: replace the [Sp,Sp]x[Sp,65] pv dot
+                    o_ext = (p[:, :head_dim + 1].astype(jnp.float32)
+                             * v_ext[:1, :].astype(jnp.float32))
+                else:
+                    o_ext = jax.lax.dot(p, v_ext,
+                                        preferred_element_type=jnp.float32)
+                den = (o_ext[:, :1] if probe == "no_vext"
+                       else o_ext[:, head_dim:head_dim + 1])
+                heads.append(o_ext[:, :head_dim] * _recip(den) if fast
+                             else o_ext[:, :head_dim] / den)
+                if probe == "half_heads":
+                    heads.append(heads[-1])
+            if probe == "no_assembly":
+                # timing ONLY: sum the head outputs (no lane-offset
+                # placement) and pad — exposes the concat/assembly share
+                acc = heads[0]
+                for hh in heads[1:]:
+                    acc = acc + hh
+                aos.append(jnp.pad(acc, ((0, 0), (0, d - head_dim))))
             else:
-                p = jnp.exp2(sc).astype(jnp.bfloat16)
-            o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
-            den = o_ext[:, head_dim:head_dim + 1]
-            heads.append(o_ext[:, :head_dim] * _recip(den) if fast
-                         else o_ext[:, :head_dim] / den)
-        aos.append(jnp.concatenate(heads, axis=1))
-    ao = jnp.concatenate(aos, axis=0)                      # [G·Sp, D]
+                aos.append(jnp.concatenate(heads, axis=1))
+        ao = jnp.concatenate(aos, axis=0)                  # [G·Sp, D]
     aq, ascale = quant(ao)
     out = (jax.lax.dot(aq, wout_ref[...],
                        preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -541,10 +650,11 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
                                              "head_dim", "out_dtype",
-                                             "group", "fast", "probe"))
+                                             "group", "fast", "score_i8",
+                                             "probe"))
 def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
                       seq_len, num_heads, head_dim, out_dtype, group,
-                      fast=True, probe=None):
+                      fast=True, score_i8=False, probe=None):
     b, sp, d = x.shape
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -557,7 +667,8 @@ def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
     return pl.pallas_call(
         functools.partial(_qattn_group_kernel, seq_len=seq_len,
                           num_heads=num_heads, head_dim=head_dim,
-                          group=group, fast=fast, probe=probe),
+                          group=group, fast=fast, score_i8=score_i8,
+                          probe=probe),
         grid=(b // group,),
         in_specs=[xspec, const(lns.shape), const(lnb.shape),
                   const((d, d)), const((d, d)), const((d, d)),
@@ -572,7 +683,12 @@ def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
         # Mosaic's default 16 MB scoped-vmem budget; v5e executes fine with
         # the raised cap (verified on hardware, outputs bit-identical)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024,
+            # grid steps own disjoint [G, Sp, D] slabs — declaring them
+            # parallel lets Mosaic overlap across steps; measured 66.35 vs
+            # 67.06 µs/img on the 12-layer attention stack (≈ the noise
+            # floor, never worse across sessions), bit-identical output
+            dimension_semantics=("parallel",)),
     )(x, lns, lnb, wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:],
       sqkv, bqkv, wout, sout, bout)
 
@@ -586,6 +702,7 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                           force: bool = False,
                           fast: bool | None = None,
                           group: int = 1,
+                          score_i8: bool = False,
                           _probe: str | None = None) -> jax.Array:
     """Fused ``x + out_proj(MHA(qkv_proj(LayerNorm(x))))`` — the whole
     pre-LN attention sub-layer (residual included) as one Pallas kernel with
@@ -669,12 +786,170 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
             bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
             head_dim, jnp.dtype(x.dtype).name)
     if use_group:
-        out = _qattn_group_impl(*args, group, _fast(fast), _probe)
+        out = _qattn_group_impl(*args, group, _fast(fast), score_i8, _probe)
     else:
+        # score_i8 is a grouped-path serving dial; the per-image fallback
+        # keeps bf16 score dots (it is the ragged-batch / oracle path)
         out = _qattn_block_impl(*args, _fast(fast))
     if valid_len is not None:
         return out[:, :s, :] if out.shape[1] != s else out
     return out[:, :s, :]
+
+
+# ------------------------------------------------ CLS-only attention (last layer)
+
+def _qattn_cls_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
+                            sqkv_ref, bqkv_ref, wout_ref, sout_ref, bout_ref,
+                            o_ref, *, seq_len: int, num_heads: int,
+                            head_dim: int, group: int, fast: bool):
+    """Grouped attention sub-layer computing ONLY the CLS (row-0) output.
+
+    A serving ViT reads just the CLS token after the final transformer
+    layer (models/vit_int8.py post_ln on ``x[:, 0]``), so the last layer's
+    per-head block, output projection and MLP for the other Sp−1 rows is
+    pure waste.  This kernel keeps the full-stream work that the CLS row
+    DOES depend on — LayerNorm + quant + the K and V projections over all
+    rows — and shrinks everything downstream to the G CLS query rows:
+    score dots become [1, hd]×[hd, Sp], pv dots [1, Sp]×[Sp, hd+1], the
+    output projection and residual run on [G, D].
+
+    Bit-exactness: every surviving value goes through the same op chain as
+    in ``_qattn_group_kernel`` — LN and the per-row dynamic quant are
+    row-independent, the q projection / score / pv dots for row 0 contract
+    over identical operand rows in the same order, so the emitted CLS
+    features are IDENTICAL BITS to the full kernel's row 0 (asserted on
+    hardware in tests/test_quant_matmul.py::test_attention_cls_bit_identical).
+    Measured on the ViT-B/16 serving stack: replacing layer 12's full
+    attention+MLP with this kernel + a [B, D]-row MLP saves ~8 µs/img.
+    """
+    quant = _quant_rows_k if fast else _quant_rows
+    g, sp, d = x_ref.shape
+    xa = x_ref[...].astype(jnp.float32).reshape(g * sp, d)
+    h = _layernorm_f32(xa, lns_ref[...], lnb_ref[...])
+    hq, hs = quant(h)
+    # CLS rows only, re-derived from the same f32 inputs: LN + per-row quant
+    # are row-local, so these G rows carry exactly the bits of hq/hs rows
+    # {gi·Sp} without a strided int8 gather
+    x_cls = x_ref[:, 0, :].astype(jnp.float32)                  # [G, D]
+    h_cls = _layernorm_f32(x_cls, lns_ref[...], lnb_ref[...])
+    hq_cls, hs_cls = quant(h_cls)
+    scale = float(np.log2(np.e) / np.sqrt(head_dim))
+
+    def proj(rows, row_scale, w_ref, sl, fold):
+        acc = jax.lax.dot(rows, w_ref[...], preferred_element_type=jnp.int32)
+        f = scale if fold else 1.0
+        return (acc.astype(jnp.float32) * row_scale * (sqkv_ref[:, sl] * f)
+                + bqkv_ref[:, sl] * f).astype(jnp.bfloat16)
+
+    q16 = proj(hq_cls, hs_cls, wq_ref, slice(0, d), True)       # [G, D]
+    k16 = proj(hq, hs, wk_ref, slice(d, 2 * d), False)          # [G·Sp, D]
+    v16 = proj(hq, hs, wv_ref, slice(2 * d, 3 * d), False)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    valid = (rowi < seq_len).astype(jnp.bfloat16)
+    outs = []
+    for gi in range(g):
+        r0 = gi * sp
+        q_cls = q16[gi:gi + 1]                                  # [1, D]
+        heads = []
+        for i in range(num_heads):
+            lo = i * head_dim
+            q = q_cls[:, lo:lo + head_dim]
+            k = k16[r0:r0 + sp, lo:lo + head_dim]
+            v = v16[r0:r0 + sp, lo:lo + head_dim]
+            v_ext = jnp.concatenate([v * valid, valid], axis=1)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [1, Sp]
+            p = jnp.exp2(jnp.clip(s, SCORE_CLAMP_LO,
+                                  SCORE_CLAMP_HI)).astype(jnp.bfloat16)
+            o_ext = jax.lax.dot(p, v_ext, preferred_element_type=jnp.float32)
+            den = o_ext[:, head_dim:head_dim + 1]
+            heads.append(o_ext[:, :head_dim] * _recip(den) if fast
+                         else o_ext[:, :head_dim] / den)
+        outs.append(jnp.concatenate(heads, axis=1))             # [1, D]
+    ao = jnp.concatenate(outs, axis=0)                          # [G, D]
+    aq, ascale = quant(ao)
+    out = (jax.lax.dot(aq, wout_ref[...],
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+           * ascale * sout_ref[...] + bout_ref[...])
+    # output carried as [G, 1, D] — Mosaic block shapes need the last two
+    # dims tile-aligned or equal to the array's, and G=4 < 8 sublanes
+    o_ref[...] = (x_cls + out).astype(o_ref.dtype).reshape(g, 1, d)
+
+
+@functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
+                                             "head_dim", "out_dtype",
+                                             "group", "fast"))
+def _qattn_cls_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
+                          seq_len, num_heads, head_dim, out_dtype, group,
+                          fast=True):
+    b, sp, d = x.shape
+    xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    flops = b * (2 * sp * d * 2 * d + 2 * d * 3 * d + 4 * sp * d + 2 * d * d)
+    return pl.pallas_call(
+        functools.partial(_qattn_cls_group_kernel, seq_len=seq_len,
+                          num_heads=num_heads, head_dim=head_dim,
+                          group=group, fast=fast),
+        grid=(b // group,),
+        in_specs=[xspec, const(lns.shape), const(lnb.shape),
+                  const((d, d)), const((d, d)), const((d, d)),
+                  const(sqkv.shape), const(bqkv.shape),
+                  const(wout.shape), const(sout.shape), const(bout.shape)],
+        out_specs=pl.BlockSpec((group, 1, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, d), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * b * sp * d + 4 * d * d,
+            transcendentals=b * num_heads * sp),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
+    )(x, lns, lnb, wqkv[:, :d], wqkv[:, d:2 * d], wqkv[:, 2 * d:],
+      sqkv, bqkv, wout, sout, bout)
+
+
+def quant_attention_cls(x: jax.Array, ln_scale: jax.Array,
+                        ln_bias: jax.Array, wqkv_i8: jax.Array,
+                        sqkv: jax.Array, bqkv: jax.Array,
+                        wout_i8: jax.Array, sout: jax.Array,
+                        bout: jax.Array, num_heads: int,
+                        valid_len: int | None = None,
+                        force: bool = False,
+                        fast: bool | None = None,
+                        group: int = 4) -> jax.Array:
+    """Row 0 (CLS) of ``quant_attention_block(...)``, bit-identically,
+    without computing the non-CLS query work — returns [B, D].
+
+    Use for the LAST transformer layer of a CLS-read-out ViT: the other
+    S−1 rows' attention outputs, output projection and MLP feed nothing
+    (models/vit_int8.py Int8CLSBlock).  The fused kernel path needs the
+    serving configuration (pre-padded S via ``valid_len``, B divisible by
+    ``group``); anything else falls back to the full sub-layer + row slice
+    — same bits either way.
+    """
+    b, s, d = x.shape
+    if (_HAS_PALLAS and (_on_tpu() or force) and group > 1
+            and b % group == 0 and valid_len is not None
+            and required_seq_pad(s, group) == s):
+        return _qattn_cls_group_impl(
+            x, ln_scale.reshape(1, -1).astype(jnp.float32),
+            ln_bias.reshape(1, -1).astype(jnp.float32), wqkv_i8,
+            sqkv.reshape(1, -1).astype(jnp.float32),
+            bqkv.reshape(1, -1).astype(jnp.float32), wout_i8,
+            sout.reshape(1, -1).astype(jnp.float32),
+            bout.reshape(1, -1).astype(jnp.float32), valid_len, num_heads,
+            d // num_heads, jnp.dtype(x.dtype).name, group,
+            _fast(fast))[:, 0, :]
+    return quant_attention_block(x, ln_scale, ln_bias, wqkv_i8, sqkv, bqkv,
+                                 wout_i8, sout, bout, num_heads,
+                                 valid_len=valid_len, force=force,
+                                 fast=fast, group=group)[:, 0, :]
 
 
 def _mlp_sublayer_f32(x, lns, lnb, w1_ref, s1, b1, w2_ref, s2, b2,
@@ -716,9 +991,9 @@ def _qmlp_block_kernel(x_ref, lns_ref, lnb_ref, w1_ref, s1_ref, b1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("m_tile", "out_dtype", "fast",
-                                             "split"))
+                                             "split", "par"))
 def _qmlp_block_2d(x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile, out_dtype,
-                   fast=True, split=1):
+                   fast=True, split=1, par=True):
     m, k = x.shape
     h = w1.shape[1]
 
@@ -743,6 +1018,12 @@ def _qmlp_block_2d(x, lns, lnb, w1, s1, b1, w2, s2, b2, m_tile, out_dtype,
             flops=4 * m * k * h,
             bytes_accessed=2 * m * k * 2 + 2 * k * h,
             transcendentals=m * h),
+        # M tiles are row-independent; ``par`` is the A/B dial for
+        # declaring the grid parallel (see quant_mlp_block).  The raised
+        # VMEM cap admits m_tile ≥ 832 (the [m_tile, 3072] f32 hidden)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=(("parallel",) if par else None)),
     )(x, lns, lnb, w1, s1.reshape(1, -1), b1.reshape(1, -1),
       w2, s2.reshape(1, -1), b2.reshape(1, -1))
 
@@ -751,7 +1032,8 @@ def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
                     w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
                     w2_i8: jax.Array, s2: jax.Array, b2: jax.Array,
                     m_tile: int = 256, force: bool = False,
-                    fast: bool | None = None, split: int = 1) -> jax.Array:
+                    fast: bool | None = None, split: int = 1,
+                    par: bool = True) -> jax.Array:
     """Fused ``x + mlp(LayerNorm(x))`` (dense→quick_gelu→dense, residual
     included) as one Pallas kernel with int8 matmuls; the [M, mlp_dim]
     hidden lives only in VMEM.
@@ -777,7 +1059,7 @@ def quant_mlp_block(x: jax.Array, ln_scale: jax.Array, ln_bias: jax.Array,
         ln_bias.reshape(1, -1).astype(jnp.float32), w1_i8,
         s1.astype(jnp.float32), b1.astype(jnp.float32), w2_i8,
         s2.astype(jnp.float32), b2.astype(jnp.float32), m_tile,
-        jnp.dtype(x.dtype).name, _fast(fast), split)
+        jnp.dtype(x.dtype).name, _fast(fast), split, par)
     return out[:m].reshape(*lead, k)
 
 

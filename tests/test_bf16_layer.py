@@ -108,3 +108,48 @@ def test_required_seq_pad_bf16():
     assert bf16_layer.required_seq_pad_bf16(197) == 208
     assert bf16_layer.required_seq_pad_bf16(208) == 208
     assert bf16_layer.required_seq_pad_bf16(3) == 16
+
+
+def test_fused_layer_cls_matches_full_row0():
+    """fused_layer_cls_bf16 == row 0 of fused_layer_block_bf16 (the CLS
+    last-layer serving specialization).  Hardware gives exact equality
+    (the MXU accumulation order is M-independent); interpret mode lowers
+    the dots to CPU BLAS whose f32 accumulation reassociates with M, so
+    this pins a tight tolerance instead."""
+    rng = np.random.default_rng(1)
+    d, heads, mlp, sp, valid, b = 64, 4, 128, 32, 29, 8
+    p = _layer_params(rng, d, heads, mlp)
+    x = jnp.asarray(rng.standard_normal((b, sp, d)), jnp.bfloat16)
+    x = x.at[:, valid:].set(7.0)
+    args = (p["ln1_s"], p["ln1_b"], p["wqkv"], p["bqkv"], p["wout"],
+            p["bout"], p["ln2_s"], p["ln2_b"], p["w1"], p["b1"], p["w2"],
+            p["b2"], heads)
+    full = np.asarray(bf16_layer.fused_layer_block_bf16(
+        x, *args, valid_len=valid, group=4, force=True), np.float32)
+    cls = np.asarray(bf16_layer.fused_layer_cls_bf16(
+        x, *args, valid_len=valid, group=4, force=True), np.float32)
+    assert cls.shape == (b, d)
+    denom = np.max(np.abs(full[:, 0, :]))
+    assert np.max(np.abs(cls - full[:, 0, :])) / denom < 2e-2
+    # ragged batch → documented fallback (full layer + row slice)
+    cls3 = np.asarray(bf16_layer.fused_layer_cls_bf16(
+        x[:3], *args, valid_len=valid, group=4, force=True), np.float32)
+    full3 = np.asarray(bf16_layer.fused_layer_block_bf16(
+        x[:3], *args, valid_len=valid, group=4, force=True), np.float32)
+    np.testing.assert_array_equal(cls3, full3[:, 0, :])
+
+
+def test_tower_fused_layer_cls_consistent():
+    """The fused tower (whose last block now returns [B, D] via the CLS
+    kernel) still matches the plain per-op tower at the feature level."""
+    rng = np.random.default_rng(2)
+    px = jnp.asarray(rng.standard_normal((4, 32, 32, 3)) * 0.4, jnp.float32)
+    plain = VisionTransformer(VIT_TINY, dtype=jnp.float32)
+    params = plain.init(jax.random.PRNGKey(0), px[:1])["params"]
+    want = np.asarray(plain.apply({"params": params}, px), np.float32)
+    fused = VisionTransformer(VIT_TINY, dtype=jnp.bfloat16, fused_layer=True)
+    got = np.asarray(fused.apply({"params": params}, px), np.float32)
+    a, b = want, got
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.99

@@ -274,3 +274,54 @@ def test_quant_attention_block_grouped_relaxed_seq_tiles(rng):
         qm.quant_attention_block(jnp.zeros((2, 24, 128), jnp.float32),
                                  *args, num_heads=4, valid_len=20,
                                  force=True)
+
+
+def test_attention_cls_bit_identical(rng):
+    """quant_attention_cls == row 0 of the full grouped sub-layer, BIT
+    identical: LN / per-row dynamic quant / MLP are row-independent, and
+    the CLS row's q-projection / score / pv dots contract over identical
+    operand rows in the same order (ops/quant_matmul._qattn_cls_group_kernel;
+    re-asserted on v5e hardware 2026-08-19: max abs diff 0.0 on the full
+    Int8VisionTransformer at batch 128)."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, b=4,
+                                                                   s=64)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    full = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4))
+    cls = np.asarray(qm.quant_attention_cls(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4))
+    assert cls.shape == (4, 128)
+    # interpret mode lowers the dots to CPU BLAS, whose f32 accumulation
+    # ORDER depends on M — the [1, Sp] pv dot reassociates differently
+    # from the full [Sp, Sp] one, and a reassociated sum can flip an int8
+    # level in the ao requant.  The MXU's accumulation order is
+    # M-independent, hence exact equality on hardware but only a tight
+    # tolerance here.
+    denom = np.max(np.abs(full[:, 0, :]))
+    assert np.max(np.abs(cls - full[:, 0, :])) / denom < 2e-3
+    # ragged batch → documented fallback (full sub-layer + row slice)
+    cls3 = np.asarray(qm.quant_attention_cls(
+        x[:3], *args, num_heads=4, valid_len=50, force=True, group=4))
+    full3 = np.asarray(qm.quant_attention_block(
+        x[:3], *args, num_heads=4, valid_len=50, force=True, group=4))
+    np.testing.assert_array_equal(cls3, full3[:, 0, :])
+
+
+def test_attention_score_i8_close_to_bf16_scores(rng):
+    """score_i8=True (int8 score dots, whole-stream quantized operands)
+    must track the bf16-score grouped kernel within quantization noise —
+    measured on hardware: 12-layer residual-stream cosine ≥ 0.9999, and
+    THROUGHPUT-NEUTRAL (66.2 vs 66.4 µs/img), so it ships OFF by default;
+    the dial + this parity pin are kept for future-hardware retries."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, b=4,
+                                                                   s=64)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    base = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4))[:, :50]
+    i8 = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4,
+        score_i8=True))[:, :50]
+    a, b = base.reshape(-1, 128), i8.reshape(-1, 128)
+    cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
+                               * np.linalg.norm(b, axis=-1) + 1e-9)
+    assert cos.min() > 0.999
