@@ -465,11 +465,68 @@ def _qattn_block_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
     )(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
 
 
+def _packed_pair_attention(q16, k16, v16, valid, r0, sp, head_dim, lo,
+                           fast: bool):
+    """TWO adjacent heads' score+pv dots as ONE block-diagonal MXU dot each.
+
+    The per-head score dot contracts over K=64 — half the MXU's 128-deep
+    systolic array, the single most shape-inefficient work in the kernel
+    (measured 14.3 µs/img of the 12-layer stack).  Packing heads i, i+1:
+
+    * q_pair = q16[:, lo:lo+128] — adjacent heads are ADJACENT LANES of the
+      qkv projection, so the 128-lane operand is a free contiguous slice;
+    * k_pack = [[k_i, 0], [0, k_j]]  ([2·Sp, 128] block-diagonal): the dot
+      ``q_pair @ k_pack^T`` → [Sp, 2·Sp] = [s_i | s_j] — both heads' exact
+      scores in one FULL-DEPTH K=128 pass;
+    * exp2 runs once over the packed [Sp, 2·Sp] tile;
+    * v_pack = [[v_ext_i, 0], [0, v_ext_j]] ([2·Sp, 2·(hd+1)]): the pv dot
+      ``p_pack @ v_pack`` → [Sp, 130] = [o_ext_i | o_ext_j], halving the
+      N=65→128 lane-padding waste of the per-head pv dots.
+
+    NEGATIVE RESULT — ships OFF (head_pack=1).  Measured on v5e
+    (tools/ab_head_pack.py, same-process ×3): attention stack 75.7 vs
+    66.6 µs/img per-head — the block-diagonal operand builds and the
+    [Sp, 2Sp] dot layouts cost more than the doubled contraction depth
+    recovers.  Numerics: the packing only adds exact-zero products, but
+    the MXU reassociates the accumulation at K=128, so hardware output is
+    close (pinned in tests/test_quant_matmul.py) yet not bit-identical.
+    Returns the two heads' normalized outputs ([Sp, hd] each).
+    """
+    q_pair = q16[r0:r0 + sp, lo:lo + 2 * head_dim]          # [Sp, 128]
+    k_i = k16[r0:r0 + sp, lo:lo + head_dim]
+    k_j = k16[r0:r0 + sp, lo + head_dim:lo + 2 * head_dim]
+    zs = jnp.zeros((sp, head_dim), jnp.bfloat16)
+    k_pack = jnp.concatenate(
+        [jnp.concatenate([k_i, zs], axis=1),
+         jnp.concatenate([zs, k_j], axis=1)], axis=0)       # [2Sp, 128]
+    s_pack = jax.lax.dot_general(
+        q_pair, k_pack, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # [Sp, 2Sp]
+    p_pack = jnp.exp2(jnp.clip(s_pack, SCORE_CLAMP_LO,
+                               SCORE_CLAMP_HI)).astype(jnp.bfloat16)
+    v_i = v16[r0:r0 + sp, lo:lo + head_dim]
+    v_j = v16[r0:r0 + sp, lo + head_dim:lo + 2 * head_dim]
+    ze = jnp.zeros((sp, head_dim + 1), jnp.bfloat16)
+    v_pack = jnp.concatenate(
+        [jnp.concatenate([v_i * valid, valid, ze], axis=1),
+         jnp.concatenate([ze, v_j * valid, valid], axis=1)],
+        axis=0)                                             # [2Sp, 2(hd+1)]
+    o_pack = jax.lax.dot(p_pack, v_pack,
+                         preferred_element_type=jnp.float32)
+    den_i = o_pack[:, head_dim:head_dim + 1]
+    den_j = o_pack[:, 2 * head_dim + 1:2 * head_dim + 2]
+    o_i = o_pack[:, :head_dim]
+    o_j = o_pack[:, head_dim + 1:2 * head_dim + 1]
+    if fast:
+        return o_i * _recip(den_i), o_j * _recip(den_j)
+    return o_i / den_i, o_j / den_j
+
+
 def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
                         sqkv_ref, bqkv_ref, wout_ref, sout_ref, bout_ref,
                         o_ref, *, seq_len: int, num_heads: int,
                         head_dim: int, group: int, fast: bool,
-                        score_i8: bool = False,
+                        score_i8: bool = False, head_pack: int = 1,
                         probe: str | None = None):
     """``group`` images per grid step: every int8 projection runs at
     M = group·Sp rows.  The MXU rounds M up to the next 128-row tile, so
@@ -564,6 +621,19 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
             head_cols.append(o_all[:, :head_dim] * _recip(den) if fast
                              else o_all[:, :head_dim] / den)
         ao = jnp.concatenate(head_cols, axis=1)           # [G·Sp, D]
+    elif head_pack == 2 and not score_i8 and probe is None:
+        aos = []
+        for gi in range(g):
+            r0 = gi * sp
+            heads = []
+            for i in range(0, num_heads, 2):
+                o_i, o_j = _packed_pair_attention(
+                    q16, k16, v16, valid, r0, sp, head_dim, i * head_dim,
+                    fast)
+                heads.append(o_i)
+                heads.append(o_j)
+            aos.append(jnp.concatenate(heads, axis=1))
+        ao = jnp.concatenate(aos, axis=0)                  # [G·Sp, D]
     else:
         aos = []
         # probe="half_heads" (timing ONLY): run every other head chain and
@@ -651,10 +721,10 @@ def _qattn_group_kernel(x_ref, lns_ref, lnb_ref, wq_ref, wk_ref, wv_ref,
 @functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",
                                              "head_dim", "out_dtype",
                                              "group", "fast", "score_i8",
-                                             "probe"))
+                                             "head_pack", "probe"))
 def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
                       seq_len, num_heads, head_dim, out_dtype, group,
-                      fast=True, score_i8=False, probe=None):
+                      fast=True, score_i8=False, head_pack=1, probe=None):
     b, sp, d = x.shape
     xspec = pl.BlockSpec((group, sp, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -668,7 +738,7 @@ def _qattn_group_impl(x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout,
         functools.partial(_qattn_group_kernel, seq_len=seq_len,
                           num_heads=num_heads, head_dim=head_dim,
                           group=group, fast=fast, score_i8=score_i8,
-                          probe=probe),
+                          head_pack=head_pack, probe=probe),
         grid=(b // group,),
         in_specs=[xspec, const(lns.shape), const(lnb.shape),
                   const((d, d)), const((d, d)), const((d, d)),
@@ -703,6 +773,7 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
                           fast: bool | None = None,
                           group: int = 1,
                           score_i8: bool = False,
+                          head_pack: int = 1,
                           _probe: str | None = None) -> jax.Array:
     """Fused ``x + out_proj(MHA(qkv_proj(LayerNorm(x))))`` — the whole
     pre-LN attention sub-layer (residual included) as one Pallas kernel with
@@ -718,6 +789,11 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
     of 32 (int8 sublane tile).  Rows ≥ valid_len are masked as attention
     KEYS (queries in the pad region produce bounded junk that the caller
     discards).
+
+    ``head_pack=2``: run adjacent head PAIRS as single block-diagonal
+    score/pv dots (full K=128 contraction depth, half the dot count —
+    see ``_packed_pair_attention``); grouped path only.  MEASURED SLOWER
+    on v5e — ships OFF; kept as a recorded experiment (tools/ab_head_pack).
 
     ``group``: process that many images per grid step so every projection
     matmul runs at M = group·S (full 128-row MXU tiles at group=4 for
@@ -785,8 +861,12 @@ def quant_attention_block(x: jax.Array, ln_scale: jax.Array,
             sout.reshape(1, -1).astype(jnp.float32),
             bout.reshape(1, -1).astype(jnp.float32), seq_len, num_heads,
             head_dim, jnp.dtype(x.dtype).name)
+    if head_pack not in (1, 2) or num_heads % head_pack:
+        raise ValueError(f"head_pack={head_pack} must be 1 or 2 and divide "
+                         f"num_heads={num_heads}")
     if use_group:
-        out = _qattn_group_impl(*args, group, _fast(fast), score_i8, _probe)
+        out = _qattn_group_impl(*args, group, _fast(fast), score_i8,
+                                head_pack, _probe)
     else:
         # score_i8 is a grouped-path serving dial; the per-image fallback
         # keeps bf16 score dots (it is the ragged-batch / oracle path)

@@ -325,3 +325,38 @@ def test_attention_score_i8_close_to_bf16_scores(rng):
     cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(b, axis=-1) + 1e-9)
     assert cos.min() > 0.999
+
+
+def test_attention_head_pack_matches_per_head(rng):
+    """head_pack=2 (block-diagonal head-pair score/pv dots,
+    ops/quant_matmul._packed_pair_attention) must reproduce the per-head
+    grouped kernel up to accumulation order: the packing only ADDS
+    exact-zero products, but both the MXU (measured on v5e) and CPU BLAS
+    regroup the nonzero partial sums when the contraction length changes
+    (64→128, Sp→2Sp), so a tight tolerance is pinned rather than bit
+    equality.  Measured on v5e at the production shape (d=768, S=208,
+    group=4): max rel dev 3.5e-3 — a few flipped int8 requant levels.
+    head_pack=2 ships OFF — it measured SLOWER on v5e
+    (tools/ab_head_pack.py); this pin keeps the recorded experiment
+    honest."""
+    x, lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout = _attn_inputs(rng, b=4,
+                                                                   s=64)
+    args = (lns, lnb, wqkv, sqkv, bqkv, wout, sout, bout)
+    base = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4))[:, :50]
+    packed = np.asarray(qm.quant_attention_block(
+        x, *args, num_heads=4, valid_len=50, force=True, group=4,
+        head_pack=2))[:, :50]
+    denom = np.max(np.abs(base))
+    assert np.max(np.abs(packed - base)) / denom < 2e-3
+    # ragged batch → per-image fallback ignores head_pack, same result
+    p3 = np.asarray(qm.quant_attention_block(
+        x[:3], *args, num_heads=4, valid_len=50, force=True, group=4,
+        head_pack=2))
+    b3 = np.asarray(qm.quant_attention_block(
+        x[:3], *args, num_heads=4, valid_len=50, force=True, group=4))
+    np.testing.assert_array_equal(p3, b3)
+    # head_pack must be 1 or 2 and divide num_heads
+    with pytest.raises(ValueError, match="head_pack"):
+        qm.quant_attention_block(x, *args, num_heads=4, valid_len=50,
+                                 force=True, group=4, head_pack=3)

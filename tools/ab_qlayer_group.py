@@ -9,6 +9,13 @@ at group=2, runs the qkv projection as ONE [D, 3D] int8 dot.  The bf16
 tower's whole-layer kernel also measured group=2 > group=4
 (ops/bf16_layer.py) — this probes whether the int8 stack agrees.
 
+ANSWER (v5e, 2026-08-19): it does NOT — whole_g2_s2 151.5 vs shipped
+135.7 µs/img (rel dev 0.022, expected: the pair rounds the residual to
+bf16 at the kernel boundary).  The int8 design needs ~14 MB of weights
++ the f32 qkv/hidden accumulators resident at once; at every group the
+VMEM working set defeats Mosaic's scheduling, so the bf16 win does not
+transfer.  The shipped two-kernel pair stays.
+
 Prints one JSON line of µs/img medians for the 12-layer stack + max
 feature-stream deviation vs the shipped pair.
 """
