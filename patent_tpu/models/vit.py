@@ -173,6 +173,7 @@ class TransformerBlock(nn.Module):
     use_flash: bool = False
     fused_block: bool = False
     fused_layer: bool = False
+    fused_mlp: bool = False  # trainable fused MLP block (Pallas fwd + bwd)
     cls_only: bool = False  # LAST layer of the fused serving stack: [B, D]
 
     @nn.compact
@@ -198,6 +199,18 @@ class TransformerBlock(nn.Module):
         x = x + Attention(self.num_heads, dtype=self.dtype,
                           use_flash=self.use_flash,
                           fused_block=self.fused_block, name="attn")(h, mask)
+        if self.fused_mlp and mask is None:
+            # trainable fused LN2+MLP+residual (Pallas forward AND backward,
+            # the hidden never in HBM — ops/bf16_mlp_grad.py); same param
+            # tree as the per-op path, so checkpoints interchange
+            from ..ops.bf16_mlp_grad import fused_mlp_block_bf16
+
+            d = x.shape[-1]
+            ln2_s, ln2_b = _LNParams(name="ln2")(d)
+            w1, b1 = _DenseParams(self.mlp_dim, name="mlp_in")(d)
+            w2, b2 = _DenseParams(d, name="mlp_out")(self.mlp_dim)
+            return fused_mlp_block_bf16(x.astype(self.dtype), ln2_s, ln2_b,
+                                        w1, b1, w2, b2)
         h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(self.mlp_dim, dtype=self.dtype, name="mlp_in")(h)
         h = quick_gelu(h)
@@ -273,6 +286,7 @@ class VisionTransformer(nn.Module):
     use_flash: bool = False   # fused Pallas attention on TPU
     fused_block: bool = False  # whole attention sub-layer as one kernel
     fused_layer: bool = False  # WHOLE layer as one kernel (inference only)
+    fused_mlp: bool = False   # trainable fused MLP block (Pallas fwd+bwd)
     keep_tokens: int | None = None
 
     @nn.compact
@@ -327,7 +341,8 @@ class VisionTransformer(nn.Module):
             blk = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                         use_flash=self.use_flash,
                         fused_block=self.fused_block,
-                        fused_layer=self.fused_layer, cls_only=last_cls,
+                        fused_layer=self.fused_layer,
+                        fused_mlp=self.fused_mlp, cls_only=last_cls,
                         name=f"block_{i}")
             x = blk(x, valid_len=valid_len) if self.fused_layer else blk(x)
 

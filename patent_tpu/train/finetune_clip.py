@@ -94,7 +94,7 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
     # 68.6 ms/step (+14%) on the ViT-B/16 finetune step; CPU falls back to
     # the differentiable XLA path
     vit = VisionTransformer(vision_config, dtype=jnp.bfloat16,
-                            fused_block=True,
+                            fused_block=True, fused_mlp=cfg.fused_mlp,
                             keep_tokens=cfg.keep_tokens)
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
@@ -156,6 +156,11 @@ def make_finetune_step(vit: VisionTransformer, head: AlignmentHead,
         # raw u8 batches (PairBatcher(out_dtype="u8")) normalize on device —
         # 4× less host→device transfer; f32 callers pass through
         images = device_normalize(images)
+        # NOTE (measured): an explicit stop_gradient over the frozen
+        # subtree is a NO-OP here — the optimizer update lives in the same
+        # jit and maps frozen grads through set_to_zero, so XLA already
+        # DCEs the backward chain below the first trainable block
+        # (52.43 vs 52.44 ms/step with/without, tools/ab_mlp_grad.py)
         feats = vit.apply({"params": params["vit"]}, images)           # [2B, D]
         z, g, scale = head.apply({"params": params["head"]}, feats, node_idx)
         ce = multi_positive_nt_xent(z, scale)

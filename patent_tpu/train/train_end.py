@@ -45,8 +45,11 @@ def init_end_to_end(vision_config: VisionConfig, cfg: EndToEndConfig,
     """Build ((vit, hyp), params, optimizer, opt_state)."""
     # trainable fused attention kernel (custom VJP), +14% on the train step;
     # CPU falls back to the differentiable XLA path
+    # fused_mlp: Pallas fwd+bwd MLP block — step-time neutral, ~3× less
+    # activation memory (ops/bf16_mlp_grad.py, measured in
+    # tools/ab_mlp_grad.py on the finetune twin of this step)
     vit = VisionTransformer(vision_config, dtype=jnp.bfloat16,
-                            fused_block=True)
+                            fused_block=True, fused_mlp=True)
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))
     vit_params = clip_params if clip_params is not None else \

@@ -127,6 +127,13 @@ class ClipFinetuneConfig:
     # shows full↔pruned feature agreement — but training and serving
     # pruned the same way is the consistent production setup.
     keep_tokens: int | None = None
+    # trainable fused MLP block (Pallas forward AND backward, the hidden
+    # recomputed in VMEM instead of saved — ops/bf16_mlp_grad.py).
+    # Measured on v5e (tools/ab_mlp_grad.py): step time NEUTRAL (51.9 vs
+    # 52.4 ms at 32 pairs; loss rel dev 3e-6) but activation memory 2.6-3×
+    # smaller (compiled temp 2,080→789 MiB at 32 pairs, 8,303→2,728 MiB at
+    # 128 pairs) — the dial that lets the fine-tune batch grow ~3× per chip
+    fused_mlp: bool = True
 
 
 @dataclasses.dataclass
