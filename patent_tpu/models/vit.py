@@ -160,6 +160,60 @@ class Attention(nn.Module):
         return nn.Dense(d, dtype=self.dtype, name="out")(out)
 
 
+def _cls_last_layer(x: jax.Array, ln1_s, ln1_b, wqkv, bqkv, wout, bout,
+                    ln2_s, ln2_b, w1, b1, w2, b2, num_heads: int,
+                    dtype) -> jax.Array:
+    """DIFFERENTIABLE whole last layer computing only the CLS (row-0)
+    output: [B, S, D] → [B, 1, D].
+
+    Only row 0 of the last block survives the stack (post_ln reads
+    ``x[:, 0]``), so the full-stream out-projection and MLP of layer
+    N−1 — and, decisively, their BACKWARD — are dead work; the loss
+    gradient w.r.t. every parameter is bit-for-bit the mathematical
+    gradient of the full tower because the dropped rows' cotangents are
+    exactly zero.  What the CLS row does need stays full-stream: LN1 and
+    the K/V projections (and their dK/dV weight gradients).  Plain XLA —
+    the surviving large dots ([B·S, D]×[D, 2D] k/v fwd + bwd) are
+    MXU-shaped already; the per-head single-query attention is tiny.
+
+    Trainable twin of ``ops/bf16_layer.fused_layer_cls_bf16`` (serving) and
+    ``ops/quant_matmul._qattn_cls_group_kernel`` (int8 serving); dtype
+    conventions mirror the per-op nn.Dense path (f32 LayerNorms, compute-
+    dtype dots).  Measured on v5e (tools/ab_cls_last_train.py): fine-tune
+    step 52.2-52.3 → 46.4-47.7 ms at 32 pairs (two sessions).
+    """
+    b, s, d = x.shape
+    head_dim = d // num_heads
+    cast = lambda t: t.astype(dtype)  # noqa: E731
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    h = ((xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln1_s + ln1_b).astype(dtype)
+    kv = h @ cast(wqkv[:, d:]) + cast(bqkv[d:])                # [B, S, 2D]
+    q = h[:, :1] @ cast(wqkv[:, :d]) + cast(bqkv[:d])          # [B, 1, D]
+    k, v = jnp.split(kv, 2, axis=-1)
+
+    def heads(t):
+        return t.reshape(b, -1, num_heads, head_dim)
+
+    scale = 1.0 / np.sqrt(head_dim)
+    attn = jnp.einsum("bqhd,bkhd->bhqk", heads(q) * scale, heads(k))
+    attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", attn, heads(v)).reshape(b, 1, d)
+    x1 = x[:, :1] + o @ cast(wout) + cast(bout)                # [B, 1, D]
+    # MLP composition matches ops/bf16_mlp_grad.fused_mlp_block_bf16's
+    # fallback (f32 LN + residual, compute-dtype dots, f32 bias adds)
+    x1f = x1.astype(jnp.float32)
+    mu2 = jnp.mean(x1f, axis=-1, keepdims=True)
+    var2 = jnp.mean(jnp.square(x1f - mu2), axis=-1, keepdims=True)
+    h2 = ((x1f - mu2) * jax.lax.rsqrt(var2 + 1e-5) * ln2_s
+          + ln2_b).astype(dtype)
+    g = (h2 @ cast(w1)).astype(jnp.float32) + b1.astype(jnp.float32)
+    a = (g * jax.nn.sigmoid(1.702 * g)).astype(dtype)
+    out = (a @ cast(w2)).astype(jnp.float32) + b2.astype(jnp.float32)
+    return (x1f + out).astype(x.dtype)
+
+
 class TransformerBlock(nn.Module):
     """One pre-LN layer.  ``fused_layer=True`` (+ ``valid_len``) runs the
     WHOLE layer as one grouped Pallas program (ops/bf16_layer.py) on a
@@ -179,6 +233,18 @@ class TransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, mask: jax.Array | None = None,
                  valid_len: int | None = None) -> jax.Array:
+        if self.cls_only and not self.fused_layer and mask is None:
+            # trainable CLS-only last layer: [B, 1, D] (gradient-exact —
+            # see _cls_last_layer); same param tree as every other path
+            d = x.shape[-1]
+            ln1_s, ln1_b = _LNParams(name="ln1")(d)
+            wqkv, bqkv, wout, bout = _AttnParams(name="attn")(d)
+            ln2_s, ln2_b = _LNParams(name="ln2")(d)
+            w1, b1 = _DenseParams(self.mlp_dim, name="mlp_in")(d)
+            w2, b2 = _DenseParams(d, name="mlp_out")(self.mlp_dim)
+            return _cls_last_layer(x, ln1_s, ln1_b, wqkv, bqkv, wout, bout,
+                                   ln2_s, ln2_b, w1, b1, w2, b2,
+                                   self.num_heads, self.dtype)
         if self.fused_layer and mask is None:
             from ..ops.bf16_layer import (fused_layer_block_bf16,
                                           fused_layer_cls_bf16)
@@ -287,6 +353,7 @@ class VisionTransformer(nn.Module):
     fused_block: bool = False  # whole attention sub-layer as one kernel
     fused_layer: bool = False  # WHOLE layer as one kernel (inference only)
     fused_mlp: bool = False   # trainable fused MLP block (Pallas fwd+bwd)
+    cls_last: bool = False    # trainable CLS-only last layer (grad-exact)
     keep_tokens: int | None = None
 
     @nn.compact
@@ -337,7 +404,8 @@ class VisionTransformer(nn.Module):
             # fused serving stack: only the CLS row survives, so the LAST
             # layer skips the per-head/out-proj/MLP work for the other
             # S−1 rows and returns [B, D] (ops/bf16_layer.fused_layer_cls_bf16)
-            last_cls = self.fused_layer and i == cfg.num_layers - 1
+            last_cls = (self.fused_layer or self.cls_last) \
+                and i == cfg.num_layers - 1
             blk = block(cfg.num_heads, cfg.mlp_dim, dtype=self.dtype,
                         use_flash=self.use_flash,
                         fused_block=self.fused_block,

@@ -17,9 +17,12 @@ v2 (reference notebooks/retrieval.ipynb cell 20, v1 in cell 16):
 The whole train step is ONE jit; the reference runs separate host-side loss
 module + optimizer objects.
 
-Measured (v5e-1, ViT-B/16, batch 32 pairs = 64 images/step): 0.098 s/step
-steady state = 650 img/s fwd+bwd (bf16); model init is jitted (eager flax
-init dispatches per-op through the tunneled device — 73 s vs 17 s jitted);
+Measured (v5e-1, ViT-B/16, batch 32 pairs = 64 images/step): 46-48 ms/step
+steady state ≈ 1,340 img/s fwd+bwd (bf16) — round-2's 98 ms/step halved by
+the trainable fused attention VJP (+14%), the fused MLP block, and the
+CLS-only last layer (tools/ab_cls_last_train.py); model init is jitted
+(eager flax init dispatches per-op through the tunneled device — 73 s vs
+17 s jitted);
 input is uint8 pair batches normalized on device (PairBatcher
 out_dtype="u8"), decoded by the shared thread pool with one-batch-ahead
 prefetch, so the loop is device-bound, not host-bound.
@@ -95,6 +98,7 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
     # the differentiable XLA path
     vit = VisionTransformer(vision_config, dtype=jnp.bfloat16,
                             fused_block=True, fused_mlp=cfg.fused_mlp,
+                            cls_last=cfg.cls_last,
                             keep_tokens=cfg.keep_tokens)
     key = jax.random.key(seed)
     dummy = jnp.zeros((1, vision_config.image_size, vision_config.image_size, 3))

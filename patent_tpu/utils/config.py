@@ -134,6 +134,13 @@ class ClipFinetuneConfig:
     # smaller (compiled temp 2,080→789 MiB at 32 pairs, 8,303→2,728 MiB at
     # 128 pairs) — the dial that lets the fine-tune batch grow ~3× per chip
     fused_mlp: bool = True
+    # trainable CLS-only last layer (models/vit._cls_last_layer): only the
+    # CLS row of the last block feeds the projection, so the other S−1
+    # rows' out-proj/MLP forward AND backward are dead work — dropping
+    # them is gradient-EXACT (their cotangents are identically zero).
+    # Measured on v5e (tools/ab_cls_last_train.py, two sessions): 52.2-52.3
+    # → 46.4-47.7 ms/step at 32 pairs (−9 to −11%), loss rel dev ≤ 1.5e-5
+    cls_last: bool = True
 
 
 @dataclasses.dataclass
