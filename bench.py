@@ -192,6 +192,38 @@ def bench_embed_bf16(ctx: dict) -> dict:
             "int8_cosine_min": float(cos.min())}
 
 
+def bench_finetune_step(pairs: int = 32) -> dict:
+    """CLIP fine-tune step time at the production shape (32 pairs = 64
+    images/step) — the L8 flagship (reference retrieval.ipynb cell 20).
+
+    The step is the shipped config: bf16 tower, trainable fused attention
+    VJP (fused_block), Pallas fwd+bwd MLP block (fused_mlp), CLS-only last
+    layer (cls_last), multi-positive NT-Xent + graph alignment, 4-group
+    multi_transform optimizer — all in ONE jit.  Measured history: 98
+    ms/step (round 2) → 52 (fused VJPs) → 46-48 (cls_last,
+    tools/ab_cls_last_train.py)."""
+    import jax.numpy as jnp
+
+    from patent_tpu.models.vit import VIT_B16
+    from patent_tpu.train.finetune_clip import (init_finetune_state,
+                                                make_finetune_step)
+    from patent_tpu.utils.config import ClipFinetuneConfig
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((2 * pairs, 224, 224, 3)), jnp.float32)
+    node_idx = jnp.asarray(rng.integers(0, 64, pairs), jnp.int32)
+    vgae = rng.standard_normal((64, 256)).astype(np.float32)
+    cfg = ClipFinetuneConfig(batch_size=pairs)
+    (vit, head), params, opt, opt_state = init_finetune_state(
+        VIT_B16, cfg, vgae, seed=0)
+    step, _ = make_finetune_step(vit, head, opt, cfg)
+    sps, spread = _timed_spread(
+        lambda: step(params, opt_state, images, node_idx, jnp.float32(0.05)),
+        lambda r: float(r[2]["loss"]), 1, n_small=1, n_large=5)
+    return {"ms": 1e3 / sps, "ms_spread": [1e3 / s for s in spread[::-1]],
+            "img_per_s": 2 * pairs * sps}
+
+
 def _device_gallery(n: int, dim: int, n_queries: int, seed: int = 0,
                     poincare: bool = False):
     """Gallery + queries generated ON DEVICE (no tunnel transfer)."""
@@ -676,6 +708,13 @@ def main() -> None:
             [round(v, 1) for v in spread]
         result["extras"]["recall10_poincare_fused_vs_exact"] = agree
 
+    def run_finetune():
+        ft = bench_finetune_step()
+        result["extras"]["finetune_step_ms_b32pairs"] = round(ft["ms"], 2)
+        result["extras"]["finetune_step_ms_spread"] = \
+            [round(v, 2) for v in ft["ms_spread"]]
+        result["extras"]["finetune_img_per_s"] = round(ft["img_per_s"], 1)
+
     def run_hyp():
         sps, wall_ratio = bench_hyp_train()
         result["extras"]["hyp_train_steps_per_sec_b256_16k_labels"] = \
@@ -697,6 +736,10 @@ def main() -> None:
     section("embed_pruned", est_cost_s=60, fn=run_embed_pruned)
     emit()
     section("embed_bf16", est_cost_s=90, fn=run_embed_bf16)
+    emit()
+    # the training flagship (cell 20): step time + trained-img/s.  Before
+    # the 1M-gallery sections for the same fragmentation reason as hyp_train
+    section("finetune_step", est_cost_s=80, fn=run_finetune)
     emit()
     # hyp-train BEFORE the 1M-gallery benches: the big gallery allocations
     # fragment HBM/host memory and depress the small-step timing
