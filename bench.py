@@ -687,6 +687,11 @@ def main() -> None:
             [round(v, 1) for v in spread]
         result["extras"]["topk_qps_1M_cosine_scan"] = round(scan_qps, 1)
         result["extras"]["topk_cosine_fast_vs_scan_ordering"] = parity
+        # the docs say this parity is ASSERTED every run, not just logged:
+        # a regression must flip the run status, not hide in an extra
+        if parity != 1.0:
+            raise AssertionError(
+                f"fused exact-cosine ordering parity {parity} != 1.0")
 
     def run_topk_int8():
         qps, spread, parity = bench_topk_int8()

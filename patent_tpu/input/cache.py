@@ -168,12 +168,23 @@ class DecodedU8Cache:
         """Rewrite the data file keeping only live rows (reclaims dead
         space left by re-decoded/stale entries)."""
         with self._lock:
+            # recent put()s may still sit in the BufferedWriter (manifest
+            # flush is every _MANIFEST_FLUSH_EVERY appends); pread on the
+            # separate read fd cannot see them, and copying a short row
+            # would misalign every row after it — flush first, and treat a
+            # short read as corruption rather than writing it through
+            self._append_f.flush()
             live = sorted(self._entries.items(), key=lambda kv: kv[1]["row"])
             tmp = self.data_path + ".tmp"
             with open(tmp, "wb") as out:
                 for i, (key, entry) in enumerate(live):
                     buf = os.pread(self._read_fd, self.row_bytes,
                                    entry["row"] * self.row_bytes)
+                    if len(buf) != self.row_bytes:
+                        raise RuntimeError(
+                            f"cache row for {key} truncated "
+                            f"({len(buf)} of {self.row_bytes} bytes); "
+                            "data file inconsistent with manifest")
                     out.write(buf)
                     entry["row"] = i
             self._append_f.close()

@@ -40,6 +40,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import NEG_1702_LOG2E as _NEG_1702_LOG2E
+from .common import layernorm_f32 as _layernorm_f32
+from .common import on_tpu as _on_tpu
+from .common import round_up as _round_up
 from .flash_attention import (SCORE_CLAMP_HI, SCORE_CLAMP_LO,  # noqa: F401
                               _one_pass_softmax_pv, _valid_col)
 
@@ -52,29 +56,11 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
 def required_seq_pad_bf16(seq: int) -> int:
     """Token-axis padding contract: bf16 sublane tiles are 16 rows, and the
     per-image q/k/v row slices inside the grouped kernel index at image
     granularity, so S itself must be a multiple of 16 (197 → 208)."""
     return _round_up(max(seq, 16), 16)
-
-
-def _layernorm_f32(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                   eps: float = 1e-5) -> jax.Array:
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _bf16_layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
@@ -143,9 +129,6 @@ def _bf16_layer_kernel(x_ref, ln1s_ref, ln1b_ref, wqkv_ref, bqkv_ref,
         [mlp_chunk(x1[i * mc:(i + 1) * mc]) for i in range(mlp_split)],
         axis=0)
     o_ref[...] = (x1 + out).reshape(g, sp, d).astype(o_ref.dtype)
-
-
-_NEG_1702_LOG2E = float(-1.702 * np.log2(np.e))
 
 
 @functools.partial(jax.jit, static_argnames=("seq_len", "num_heads",

@@ -38,7 +38,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_NEG_1702_LOG2E = float(-1.702 * np.log2(np.e))
+from .common import NEG_1702_LOG2E as _NEG_1702_LOG2E
+from .common import on_tpu as _on_tpu
+from .common import round_up as _round_up
 
 try:
     from jax.experimental import pallas as pl
@@ -47,17 +49,6 @@ try:
     _HAS_PALLAS = True
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _ln_f32(xf: jax.Array, lns: jax.Array, lnb: jax.Array,
@@ -221,16 +212,16 @@ def _mlp_core(x2, lns, lnb, w1, b1, w2, b2, m_tile):
 def _mlp_core_fwd(x2, lns, lnb, w1, b1, w2, b2, m_tile):
     out = _mlp_fwd_impl(x2, lns, lnb, w1, b1, w2, b2, m_tile,
                         jnp.dtype(x2.dtype).name)
-    return out, (x2, lns, lnb, w1, b1, w2)
+    return out, (x2, lns, lnb, w1, b1, w2, b2)
 
 
 def _mlp_core_bwd(m_tile, res, dout):
-    x2, lns, lnb, w1, b1, w2 = res
+    x2, lns, lnb, w1, b1, w2, b2 = res
     dx, dls, dlb, dw1, db1, dw2, db2 = _mlp_bwd_impl(
         x2, dout.astype(x2.dtype), lns, lnb, w1, b1, w2, m_tile)
     return (dx, dls.astype(lns.dtype), dlb.astype(lnb.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b1.dtype))
+            dw2.astype(w2.dtype), db2.astype(b2.dtype))
 
 
 _mlp_core.defvjp(_mlp_core_fwd, _mlp_core_bwd)

@@ -37,6 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import on_tpu as _on_tpu
+from .common import round_up as _round_up
+
 try:
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -75,17 +78,6 @@ def attention_saturation(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     scale2 = float(np.log2(np.e) / np.sqrt(head_dim))
     scores = jnp.einsum("bqhd,bkhd->bhqk", q * scale2, k)
     return jnp.max(scores)
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def _one_pass_softmax_pv(q, k, v_ext, dp: int):

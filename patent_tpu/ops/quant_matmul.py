@@ -44,6 +44,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .common import NEG_1702_LOG2E as _NEG_1702_LOG2E
+from .common import layernorm_f32 as _layernorm_f32
+from .common import on_tpu as _on_tpu
+from .common import round_up as _round_up
 from .flash_attention import SCORE_CLAMP_HI, SCORE_CLAMP_LO
 
 # Process-wide default for the kernels' ``fast`` flag (approx VPU reciprocal
@@ -72,13 +76,6 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def required_seq_pad(seq: int, group: int) -> int:
     """Token-axis padding contract of the int8 attention kernel.
 
@@ -94,10 +91,6 @@ def required_seq_pad(seq: int, group: int) -> int:
     if use_group and (group * sp) % 32 != 0:
         sp = _round_up(sp, 32)
     return sp
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 def quantize_weight(w: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -138,7 +131,6 @@ def _quant_rows_k(xf: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, amax * (1.0 / 127.0)
 
 
-_NEG_1702_LOG2E = float(-1.702 * np.log2(np.e))
 
 # NEGATIVE RESULT (do not retry): a ~9-op deg-2-poly + exponent-bitcast
 # exp2 for the softmax weights measured SLOWER than Mosaic's native exp2
@@ -339,13 +331,6 @@ def quant_mlp(x: jax.Array, w1_i8: jax.Array, s1: jax.Array, b1: jax.Array,
 # XLA path additionally materializes the LN output, the [S, 3D] QKV tensor,
 # head-major transposes, [H, S, S] softmax, the attention output, and the
 # [S, mlp_dim] hidden — an order of magnitude more traffic.
-
-def _layernorm_f32(x: jax.Array, scale: jax.Array, bias: jax.Array,
-                   eps: float = 1e-5) -> jax.Array:
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
-
 
 def _qattn_block_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, sqkv_ref,
                         bqkv_ref, wout_ref, sout_ref, bout_ref, o_ref, *,

@@ -305,7 +305,15 @@ def _cosine_rerank_device(pidx: jax.Array, queries: jax.Array,
                           ) -> tuple[jax.Array, jax.Array]:
     """Exact f32 cosine re-rank of a candidate pool — the SAME normalization
     and HIGHEST-precision dot math as ``_scores_block('cosine')``, so the
-    winners' values/ordering are identical to the scan oracle's."""
+    winners' values/ordering are identical to the scan oracle's.
+
+    Ties (exactly equal cosines, e.g. duplicate gallery rows) must ALSO
+    break like the oracle — ``lax.top_k`` over the full gallery favors the
+    LOWER gallery index, while the candidate pool arrives in bf16-score/
+    bucket order — so the pool is pre-sorted by gallery index: ``top_k``
+    ties then resolve to the lower pool position = lower gallery index."""
+    order0 = jnp.argsort(pidx, axis=1)
+    pidx = jnp.take_along_axis(pidx, order0, axis=1)
     qn = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=-1, keepdims=True), 1e-12)
     cand = gallery[pidx]                                      # [Q, P, D]
@@ -315,6 +323,22 @@ def _cosine_rerank_device(pidx: jax.Array, queries: jax.Array,
                        precision=jax.lax.Precision.HIGHEST)
     vals, pos = jax.lax.top_k(exact, k)
     return vals, jnp.take_along_axis(pidx, pos, axis=1)
+
+
+def fused_cosine_eligible(n: int, k: int,
+                          rerank_mult: int = DEFAULT_RERANK_MULT) -> bool:
+    """True iff ``topk_search_cosine_fast`` would take the fused bf16
+    candidate path (not the scan fallback) for an n-row gallery at this k.
+    Exposed so callers (``EmbeddingIndex.search``) can gate the +50%-HBM
+    bf16 gallery copy on the SAME condition — building it and then scanning
+    anyway (CPU deployment, ``PATENT_TPU_FUSED_TOPK=0``, unsupported shape)
+    would waste a gallery-sized allocation."""
+    mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
+    pool = min(max(k * rerank_mult, k), n)
+    return (mode != "0"
+            and pool < n
+            and bucket_topk_supported(n, pool, _FUSED_BUCKETS, _FUSED_ROWS)
+            and (_on_tpu() or mode == "force"))
 
 
 def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
@@ -331,22 +355,26 @@ def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
     no score-tile HBM round-trips) through the bucketed-top-2 kernel, and
     the ``rerank_mult·k`` pool is re-scored against the resident f32
     gallery with ``topk_search``'s exact math — final ordering is
-    IDENTICAL to the scan (pinned in tests/test_index.py; re-measured
-    every bench run).  Off-TPU (or ``PATENT_TPU_FUSED_TOPK=0``) this
-    falls back to the scan oracle itself; ``=force`` runs the kernel in
-    interpret mode (test coverage).  Replaces the serving hot loop of
+    IDENTICAL to the scan (pinned in tests/test_index.py; asserted every
+    bench run), including on tied scores: the pool is re-ranked with the
+    oracle's lower-gallery-index tie-break.  The one reachable divergence
+    is MORE tied duplicates than the candidate stage's per-bucket capacity
+    (bucket = gallery row mod ``_FUSED_BUCKETS``; top-2 kept per bucket,
+    top-1 per 2048-row step when n > 2·buckets): the excess copies are
+    evicted and the tail of the top-k back-fills with the next-best rows,
+    so tail indices AND scores can then differ from the oracle (verified
+    on-chip: 8 copies at stride 2048 keep 2).  Exact-duplicate gallery
+    rows beyond 2 per 1024-stride class are a data-dedup problem, not a
+    serving one — the scan oracle remains available for such galleries.
+    Off-TPU (or ``PATENT_TPU_FUSED_TOPK=0``) this falls back to the scan
+    oracle itself; ``=force`` runs the kernel in interpret mode (test
+    coverage).  Replaces the serving hot loop of
     /root/reference/notebooks/retrieval.ipynb cell 3 (full Q×G cosine on
     CPU + argsort) at index scale."""
     q = jnp.asarray(queries, jnp.float32)
     n = gal_bf16.shape[0]
     pool = min(max(k * rerank_mult, k), n)
-    mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
-    use_fused = (mode != "0"
-                 and pool < n
-                 and bucket_topk_supported(n, pool, _FUSED_BUCKETS,
-                                           _FUSED_ROWS)
-                 and (_on_tpu() or mode == "force"))
-    if not use_fused:
+    if not fused_cosine_eligible(n, k, rerank_mult):
         vals, idx = topk_search(q, jnp.asarray(gallery_f32), k=k,
                                 similarity="cosine", block_size=block_size)
         return np.asarray(vals), np.asarray(idx)
@@ -356,8 +384,10 @@ def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
     if isinstance(gallery_f32, jax.Array):
         vals, idx = _cosine_rerank_device(pidx, q, gallery_f32, k)
         return np.asarray(vals), np.asarray(idx)
-    # host-resident f32 gallery: re-rank the pool rows on host
-    pidx = np.asarray(pidx)
+    # host-resident f32 gallery: re-rank the pool rows on host.  Pre-sort
+    # the pool by gallery index so the stable score sort breaks ties like
+    # the scan oracle (lower gallery index first) — see _cosine_rerank_device
+    pidx = np.sort(np.asarray(pidx), axis=1)
     qn = np.asarray(q, np.float32)
     qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
     gn = np.asarray(gallery_f32)[pidx]
@@ -741,10 +771,12 @@ class EmbeddingIndex:
                                             block_size=block_size, c=self.c,
                                             axis=self.axis)
         elif (self.similarity == "cosine"
-                and k * DEFAULT_RERANK_MULT < len(self.names)):
+                and fused_cosine_eligible(len(self.names), k)):
             # fused bf16 candidate stage + exact f32 re-rank — identical
             # ordering to the scan, ~order-of-magnitude faster at index
-            # scale (falls back to the scan itself off-TPU)
+            # scale.  Eligibility checked HERE so the +50%-HBM bf16 copy
+            # is never built just to fall back to the scan (CPU-only
+            # deployment, PATENT_TPU_FUSED_TOPK=0, unsupported shape)
             if self._gal16 is None:
                 self._gal16, self._gal16_valid = \
                     prepare_cosine_gallery_bf16(self.embeddings)

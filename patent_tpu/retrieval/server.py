@@ -61,7 +61,9 @@ class MicroBatcher:
     takes the device lock, and runs ONE ``index.search`` over the stacked
     feature rows.  Requests arriving while a batch occupies the device
     accumulate into the next batch, so under load batching also emerges
-    naturally beyond the bounded wait.  Query rows and k are padded to
+    naturally beyond the bounded wait; the dispatching caller drains the
+    queue until empty, so followers left behind by a ``max_rows``-truncated
+    batch (or queued during a dispatch) always have a dispatcher.  Query rows and k are padded to
     power-of-two buckets so the jitted search sees a small closed set of
     shapes (every distinct shape is a compile).
 
@@ -73,6 +75,7 @@ class MicroBatcher:
     def __init__(self, index, device_lock: threading.Lock | None = None,
                  max_wait_s: float = 0.002, max_rows: int = 1024):
         self.index = index
+        self.dim = int(index.embeddings.shape[1])
         self.max_wait_s = max_wait_s
         self.max_rows = max_rows
         self._mu = threading.Lock()
@@ -84,8 +87,18 @@ class MicroBatcher:
     def search(self, feats: np.ndarray, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
         """Blocking per-request API; thread-safe.  Returns (vals [q, k],
-        idx [q, k]) for this request's rows only."""
-        req = _Req(np.asarray(feats, np.float32), int(k))
+        idx [q, k]) for this request's rows only.
+
+        Shape-validates BEFORE enqueueing: a malformed request must fail
+        alone, not poison the np.concatenate of everyone sharing its
+        coalesced batch."""
+        feats = np.asarray(feats, np.float32)
+        if feats.ndim != 2 or feats.shape[0] < 1 or feats.shape[1] != self.dim:
+            raise ValueError(
+                f"features must be [q, {self.dim}], got {feats.shape}")
+        if int(k) < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        req = _Req(feats, int(k))
         with self._mu:
             self._pending.append(req)
             leader = len(self._pending) == 1
@@ -104,40 +117,51 @@ class MicroBatcher:
         return req.vals, req.idx
 
     def _run_batch(self) -> None:
-        with self._device_lock:
+        # drain-until-empty: a max_rows-truncated batch leaves followers in
+        # _pending with NO dispatcher (every later arrival sees a non-empty
+        # queue and becomes a follower too) — the caller that started
+        # dispatching keeps going until the queue is empty at its check,
+        # so leftovers are served promptly instead of stalling until the
+        # 120 s leader-lost fallback
+        while True:
+            with self._device_lock:
+                with self._mu:
+                    take = 0
+                    rows = 0
+                    while take < len(self._pending) and rows < self.max_rows:
+                        rows += self._pending[take].feats.shape[0]
+                        take += 1
+                    batch = self._pending[:take]
+                    self._pending = self._pending[take:]
+                if not batch:
+                    return
+                try:
+                    feats = np.concatenate([r.feats for r in batch], axis=0)
+                    n_rows = feats.shape[0]
+                    pad_rows = _bucket(n_rows)
+                    if pad_rows != n_rows:
+                        feats = np.pad(feats,
+                                       ((0, pad_rows - n_rows), (0, 0)))
+                    kmax = min(_bucket(max(r.k for r in batch)),
+                               len(self.index))
+                    vals, idx = self.index.search(feats, k=kmax)
+                    self.dispatches += 1
+                    row = 0
+                    for r in batch:
+                        q = r.feats.shape[0]
+                        kk = min(r.k, kmax)
+                        r.vals = vals[row:row + q, :kk]
+                        r.idx = idx[row:row + q, :kk]
+                        row += q
+                except Exception as e:  # deliver to all waiters, don't wedge
+                    for r in batch:
+                        r.error = e
+                finally:
+                    for r in batch:
+                        r.event.set()
             with self._mu:
-                take = 0
-                rows = 0
-                while take < len(self._pending) and rows < self.max_rows:
-                    rows += self._pending[take].feats.shape[0]
-                    take += 1
-                batch = self._pending[:take]
-                self._pending = self._pending[take:]
-            if not batch:
-                return
-            try:
-                feats = np.concatenate([r.feats for r in batch], axis=0)
-                n_rows = feats.shape[0]
-                pad_rows = _bucket(n_rows)
-                if pad_rows != n_rows:
-                    feats = np.pad(feats, ((0, pad_rows - n_rows), (0, 0)))
-                kmax = min(_bucket(max(r.k for r in batch)),
-                           len(self.index))
-                vals, idx = self.index.search(feats, k=kmax)
-                self.dispatches += 1
-                row = 0
-                for r in batch:
-                    q = r.feats.shape[0]
-                    kk = min(r.k, kmax)
-                    r.vals = vals[row:row + q, :kk]
-                    r.idx = idx[row:row + q, :kk]
-                    row += q
-            except Exception as e:  # deliver to every waiter, don't wedge
-                for r in batch:
-                    r.error = e
-            finally:
-                for r in batch:
-                    r.event.set()
+                if not self._pending:
+                    return
 
 
 class RetrievalService:
@@ -202,10 +226,16 @@ class RetrievalService:
         # coalesce into ONE device top-k dispatch (the batcher holds the
         # shared device lock only around that dispatch)
         if "features" in payload:
-            feats = np.asarray(payload["features"], np.float32)
-            if feats.ndim == 1:
-                feats = feats[None]
-            results = self._named(*self.batcher.search(feats, k))
+            try:
+                feats = np.asarray(payload["features"], np.float32)
+                if feats.ndim == 1:
+                    feats = feats[None]
+                results = self._named(*self.batcher.search(feats, k))
+            except ValueError as e:
+                # ragged rows / wrong dim / bad k: fail THIS request with
+                # 400 (the batcher validates pre-enqueue, so a bad request
+                # can never poison a coalesced batch)
+                return {"error": str(e), "_status": 400}
         elif "name" in payload:
             try:
                 row = self.engine.index.names.index(payload["name"])

@@ -557,6 +557,35 @@ def test_cosine_fast_matches_scan_exactly(data, monkeypatch):
     np.testing.assert_allclose(sv, hv, atol=1e-5)
 
 
+def test_cosine_fast_tie_break_matches_scan(monkeypatch):
+    """Duplicate gallery rows produce EXACTLY equal cosines; the scan
+    oracle (lax.top_k over the gallery) breaks those ties by lower gallery
+    index, and the fused path must too — the candidate pool arrives in
+    bf16-score/bucket order, so the re-rank pre-sorts it by index."""
+    from patent_tpu.retrieval.index import (prepare_cosine_gallery_bf16,
+                                            topk_search_cosine_fast)
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((64, 32)).astype(np.float32)
+    # 8 exact duplicates of one row scattered through a 512-row gallery,
+    # plus a duplicated pair elsewhere — ties both at and below rank 1
+    gallery = np.concatenate([base] * 8, axis=0)
+    queries = gallery[[5, 37, 100]] + 0.0   # query equals a duplicated row
+    sv, si = topk_search(jnp.asarray(queries), jnp.asarray(gallery), k=10,
+                         block_size=128)
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    gal16, valid = prepare_cosine_gallery_bf16(jnp.asarray(gallery))
+    fv, fi = topk_search_cosine_fast(queries, gal16, valid,
+                                     jnp.asarray(gallery), k=10,
+                                     block_size=128)
+    np.testing.assert_array_equal(np.asarray(si), fi)
+    np.testing.assert_allclose(np.asarray(sv), fv, atol=1e-6)
+    # host re-rank branch: same tie behavior
+    hv, hi = topk_search_cosine_fast(queries, gal16, valid, gallery, k=10,
+                                     block_size=128)
+    np.testing.assert_array_equal(np.asarray(si), hi)
+
+
 def test_embedding_index_cosine_fast_dispatch(data, monkeypatch):
     """EmbeddingIndex (non-quantized cosine) routes small-k searches
     through the fused path when forced; results equal the scan path's and

@@ -140,6 +140,38 @@ def test_cache_second_pass_speedup(corpus, tmp_path):
     assert second > first * 1.2, (first, second)
 
 
+def test_vacuum_flushes_buffered_rows(tmp_path):
+    """Regression: vacuum() on rows still sitting in the append handle's
+    write buffer (rows smaller than the 8 KiB BufferedWriter, fewer than
+    the manifest-flush threshold) must not truncate the data file — and
+    appends AFTER such a vacuum must stay row-aligned.  Before the fix,
+    pread on the separate read fd could not see the buffered tail, the
+    rewritten file ended short, and every post-vacuum append landed at a
+    misaligned offset, so get() returned full-length but WRONG pixels."""
+    rng = np.random.default_rng(0)
+    size = 16                                  # row = 768 B << 8 KiB buffer
+    srcs = []
+    rows = []
+    for i in range(24):
+        p = str(tmp_path / f"img_{i}.png")
+        with open(p, "wb") as f:               # content only needs a stat sig
+            f.write(b"x" * (i + 1))
+        srcs.append(p)
+        rows.append(rng.integers(0, 256, (size, size, 3), dtype=np.uint8))
+    cache = DecodedU8Cache(str(tmp_path / "cache"), image_size=size)
+    for p, r in zip(srcs[:20], rows[:20]):
+        cache.put(p, r)                        # tail of these stays buffered
+    cache.vacuum()
+    for p, r in zip(srcs[20:], rows[20:]):     # post-vacuum appends
+        cache.put(p, r)
+    cache.flush()        # get() treats still-buffered rows as misses
+    for p, r in zip(srcs, rows):
+        got = cache.get(p)
+        assert got is not None, p
+        np.testing.assert_array_equal(got, r)
+    cache.close()
+
+
 def test_vacuum_reclaims_dead_rows(corpus, tmp_path):
     cache = DecodedU8Cache(str(tmp_path), image_size=64)
     a0 = decode_image_u8(corpus[0], 64)

@@ -1,6 +1,7 @@
 """Retrieval HTTP server tests: real socket requests against a live server."""
 
 import json
+import time
 import urllib.request
 import urllib.error
 
@@ -95,6 +96,8 @@ def test_image_path_disabled_without_data_root():
     from patent_tpu.retrieval.server import RetrievalService
 
     class _FakeIndex:
+        embeddings = np.zeros((1, 8), np.float32)
+
         def __len__(self):
             return 1
 
@@ -274,6 +277,83 @@ def test_microbatch_k_exceeding_gallery_clamps():
     batcher = MicroBatcher(idx, max_wait_s=0.0)
     vals, res = batcher.search(np.ones((1, 8), np.float32), k=50)
     assert res.shape[1] == 8      # clamped to gallery size
+
+
+def test_microbatch_drains_truncated_batch_leftovers():
+    """Regression: requests past the max_rows cap used to be left in
+    _pending with NO dispatcher (every later arrival saw a non-empty queue
+    and became a follower), wedging them — and all later requests — until
+    the 120 s leader-lost fallback.  The dispatching caller now drains the
+    queue until empty, so an over-cap burst completes promptly."""
+    import threading
+
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    idx = _CountingIndex(n=64, dim=8, dispatch_s=0.001)
+    # cap at 4 rows; 6 concurrent 3-row requests => at least one truncation
+    batcher = MicroBatcher(idx, max_wait_s=0.01, max_rows=4)
+    rng = np.random.default_rng(2)
+    queries = rng.standard_normal((6, 3, 8)).astype(np.float32)
+    got: list = [None] * 6
+    errs: list = []
+
+    def worker(i):
+        try:
+            got[i] = batcher.search(queries[i], 5)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30.0)
+    wall = time.perf_counter() - t0
+    assert not errs
+    assert all(g is not None for g in got), "leftover request stalled"
+    assert wall < 10.0, f"drain took {wall:.1f}s — leftovers had no leader"
+    oracle = _CountingIndex(n=64, dim=8)
+    for i in range(6):
+        vals, res = got[i]
+        want_vals, want_idx = oracle.search(queries[i], k=5)
+        np.testing.assert_array_equal(res, want_idx)
+        np.testing.assert_allclose(vals, want_vals, rtol=1e-5)
+
+
+def test_microbatch_rejects_malformed_before_enqueue():
+    """A bad request (wrong feature dim, ragged rows, k<1) fails ALONE with
+    ValueError; a concurrent valid request in the same window still gets
+    its answer (no batch poisoning through np.concatenate)."""
+    import threading
+
+    from patent_tpu.retrieval.server import MicroBatcher
+
+    idx = _CountingIndex(n=64, dim=8, dispatch_s=0.002)
+    batcher = MicroBatcher(idx, max_wait_s=0.02)
+    results: dict = {}
+
+    def good():
+        results["good"] = batcher.search(np.ones((2, 8), np.float32), 4)
+
+    def bad():
+        try:
+            batcher.search(np.ones((1, 3), np.float32), 4)   # wrong dim
+        except ValueError as e:
+            results["bad"] = str(e)
+
+    threads = [threading.Thread(target=good), threading.Thread(target=bad)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30.0)
+    assert "features must be [q, 8]" in results["bad"]
+    vals, res = results["good"]
+    assert res.shape == (2, 4)
+    with pytest.raises(ValueError):
+        batcher.search(np.ones((2, 2, 8), np.float32), 4)    # not 2-D
+    with pytest.raises(ValueError):
+        batcher.search(np.ones((1, 8), np.float32), 0)       # k < 1
 
 
 def test_microbatch_error_propagates_to_all_waiters():
