@@ -19,12 +19,16 @@ because one JSON print sat behind ~24 min of serial sections):
   1. The headline JSON is printed IMMEDIATELY after the embed section
      (~3-5 min warm); every later section re-prints a complete line with
      its extras added.  A timeout mid-run still leaves a parsed headline.
-  2. A global deadline (env ``PATENT_BENCH_DEADLINE_S``, default 480 s)
+  2. A global deadline (env ``PATENT_BENCH_DEADLINE_S``, default 600 s)
      skips any section whose estimated cost no longer fits; skipped
      sections are listed in ``extras["skipped"]``.
-  3. The wedged-lease watchdog is ONE probe capped at 170 s (a healthy
-     cold tunnel takes 20-120 s for its first op, so anything shorter
-     mis-reports "wedged"); the fallback line is emitted on failure.
+  3. The wedged-lease watchdog probes at up to 170 s per attempt (a
+     healthy cold tunnel takes 20-120 s for its first op, so anything
+     shorter mis-reports "wedged") and RETRIES while the deadline still
+     leaves room for the headline section — a wedged lease recovers
+     server-side within minutes, so one probe forfeits artifacts a later
+     probe would save.  The fallback line is emitted only when the budget
+     runs out (or the probe fails instantly: no backend at all).
   4. Throughput sections repeat the measurement 3× and report
      median + [min, max] (``*_spread``): the tunnel shows ±6% run-to-run
      wobble that a single sample cannot distinguish from a regression.
@@ -562,12 +566,12 @@ def _device_responsive(timeout_s: float = 170.0) -> bool:
     hang the whole bench run.
 
     The probe runs in a SUBPROCESS (an in-process daemon thread stuck in a
-    device RPC makes interpreter teardown call std::terminate).  ONE probe,
-    hard-capped just under 3 min: a healthy-but-cold tunnel legitimately
+    device RPC makes interpreter teardown call std::terminate).  Each probe
+    is hard-capped just under 3 min: a healthy-but-cold tunnel legitimately
     takes 20-120 s for the first op (measured 41 s median, >90 s under
-    transient contention), so a short probe + retry mis-reports "wedged"
-    and forfeits the whole official artifact — the asymmetric failure.  A
-    genuinely wedged lease costs ≤170 s before the fallback JSON."""
+    transient contention), so a SHORT probe mis-reports "wedged" and
+    forfeits the whole official artifact — the asymmetric failure.
+    ``_wait_for_device`` layers budgeted retries on top."""
     import subprocess
     import sys
 
@@ -580,6 +584,42 @@ def _device_responsive(timeout_s: float = 170.0) -> bool:
         return r.returncode == 0 and "ok" in r.stdout
     except subprocess.TimeoutExpired:
         return False
+
+
+# budget the retry loop reserves for useful work after a late probe
+# success: the headline embed section (est 200 s) + the recall-parity
+# check that turns it into an official number
+_HEADLINE_BUDGET_S = 230.0
+
+
+def _wait_for_device(deadline: float) -> bool:
+    """Probe the device, RETRYING while the run budget allows.
+
+    A lease wedged by an abrupt client kill recovers server-side within
+    minutes (observed live in round 4: a probe at +0 s failed; the same
+    chip answered a fresh client minutes later), so giving up after one
+    probe forfeits an artifact a later probe would have saved.  Two rules
+    bound the loop:
+
+    * retry ONLY when the failed probe itself burned real time (a probe
+      that fails in seconds means no backend at all — e.g. no tunnel —
+      and retrying cannot help);
+    * stop when another sleep+probe could not leave ``_HEADLINE_BUDGET_S``
+      for the embed section, and emit the fallback line instead.
+    """
+    retry_sleep = 45.0           # lease recovery granularity
+    while True:
+        remaining = deadline - time.monotonic()
+        cap = min(170.0, max(60.0, remaining - _HEADLINE_BUDGET_S))
+        t0 = time.monotonic()
+        if _device_responsive(cap):
+            return True
+        if time.monotonic() - t0 < 30.0:
+            return False         # fast failure: not a wedge, retries useless
+        if (deadline - time.monotonic()
+                < _HEADLINE_BUDGET_S + retry_sleep + 60.0):
+            return False         # no room left for a probe + the headline
+        time.sleep(retry_sleep)
 
 
 def main() -> None:
@@ -611,7 +651,7 @@ def main() -> None:
         result["extras"]["elapsed_s"] = round(time.monotonic() - t_start, 1)
         print(json.dumps(result), flush=True)
 
-    if not _device_responsive():
+    if not _wait_for_device(deadline):
         result["extras"] = {"error": "device unresponsive (TPU lease "
                                      "wedged); retry after lease timeout"}
         emit()

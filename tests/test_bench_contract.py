@@ -42,6 +42,8 @@ def test_bench_json_schema(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_topk_poincare_fused",
                         lambda *a, **k: (25000.0, [24000.0, 26000.0], 1.0))
     monkeypatch.setattr(bench, "bench_recall_parity", lambda *a, **k: 1.0)
+    monkeypatch.setattr(bench, "bench_finetune_step", lambda *a, **k: {
+        "ms": 46.4, "ms_spread": [46.0, 47.0], "img_per_s": 1379.0})
     monkeypatch.setattr(bench, "bench_hyp_train",
                         lambda *a, **k: (450.0, 1.5))
     bench.main()
@@ -63,6 +65,7 @@ def test_bench_json_schema(monkeypatch, capsys):
     assert ex["hyp_train_epoch_wall_vs_device"] == 1.5
     assert ex["topk_qps_1M_poincare_fused"] == 25000.0
     assert ex["recall10_poincare_fused_vs_exact"] == 1.0
+    assert ex["finetune_step_ms_b32pairs"] == 46.4
     assert ex["skipped"] == []
 
 
@@ -84,15 +87,51 @@ def test_bench_deadline_skips_sections(monkeypatch, capsys):
 
 
 def test_bench_unresponsive_device_path(monkeypatch, capsys):
-    """A wedged device yields an error JSON line, never a hang or crash."""
+    """A wedged device yields an error JSON line, never a hang or crash.
+
+    The mocked probe fails INSTANTLY, which the retry loop must read as
+    "no backend at all" and not sleep/retry (a wedge is a probe that
+    burned its full timeout)."""
     bench = load_bench()
     monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: False)
+    import time as _time
+    t0 = _time.monotonic()
     bench.main()
+    assert _time.monotonic() - t0 < 20, "fast failure must not retry/sleep"
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     payload = json.loads(out[0])
     assert payload["value"] == 0.0
     assert "error" in payload["extras"]
+
+
+def test_wait_for_device_retries_slow_probe(monkeypatch):
+    """A probe that burns real time (a wedge) is retried while the budget
+    allows; a later success is accepted."""
+    bench = load_bench()
+    calls = {"n": 0}
+    now = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: now["t"])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: now.__setitem__("t", now["t"] + s))
+
+    def probe(cap=170.0):
+        calls["n"] += 1
+        now["t"] += min(cap, 170.0)       # probe burns its full timeout
+        return calls["n"] >= 2            # second attempt succeeds
+
+    monkeypatch.setattr(bench, "_device_responsive", probe)
+    assert bench._wait_for_device(deadline=600.0) is True
+    assert calls["n"] == 2
+
+    # never-recovering wedge: gives up BEFORE the headline budget is gone
+    calls["n"] = 0
+    now["t"] = 0.0
+    monkeypatch.setattr(bench, "_device_responsive",
+                        lambda cap=170.0: (now.__setitem__(
+                            "t", now["t"] + min(cap, 170.0)), False)[1])
+    assert bench._wait_for_device(deadline=600.0) is False
+    assert 600.0 - now["t"] >= 170.0, "headline budget must survive"
 
 
 def test_timed_throughput_differencing():
