@@ -417,9 +417,17 @@ def main(argv: list[str] | None = None) -> int:
                   f"patches: training the exact (unpruned) tower")
             cfg.keep_tokens = None
         ckpt = CheckpointManager(os.path.join(args.path, "models"))
-        _best, history = run_finetune(anchors, positives, node_idx, vgae, vc,
-                                      cfg, logger=logger, ckpt=ckpt,
-                                      image_size=image_size)
+        # decoded-u8 cache shared with encode/eval: epoch 1 fills it, every
+        # later epoch + validation pass streams at cache-read speed instead
+        # of re-decoding (reference: /root/reference/src/train.py:4292-4308)
+        from ..input.cache import DecodedU8Cache
+
+        with DecodedU8Cache(os.path.join(args.path, "decoded_cache"),
+                            image_size=image_size) as dcache:
+            _best, history = run_finetune(anchors, positives, node_idx, vgae,
+                                          vc, cfg, logger=logger, ckpt=ckpt,
+                                          image_size=image_size,
+                                          cache=dcache)
         print(f"finetune done: val_loss trajectory {history['val_loss']}")
         return 0
 

@@ -166,7 +166,14 @@ class DecodedU8Cache:
 
     def vacuum(self) -> None:
         """Rewrite the data file keeping only live rows (reclaims dead
-        space left by re-decoded/stale entries)."""
+        space left by re-decoded/stale entries).
+
+        Failure contract: a truncated row (data file inconsistent with the
+        manifest, e.g. external truncation) raises ``RuntimeError`` and
+        leaves the cache object fully USABLE — the tmp file is removed, no
+        manifest entry or fd is touched, and later get/put calls keep
+        operating on the original data file (rows past the truncation
+        simply miss via the short-read guard in ``get``)."""
         with self._lock:
             # recent put()s may still sit in the BufferedWriter (manifest
             # flush is every _MANIFEST_FLUSH_EVERY appends); pread on the
@@ -176,17 +183,27 @@ class DecodedU8Cache:
             self._append_f.flush()
             live = sorted(self._entries.items(), key=lambda kv: kv[1]["row"])
             tmp = self.data_path + ".tmp"
-            with open(tmp, "wb") as out:
-                for i, (key, entry) in enumerate(live):
-                    buf = os.pread(self._read_fd, self.row_bytes,
-                                   entry["row"] * self.row_bytes)
-                    if len(buf) != self.row_bytes:
-                        raise RuntimeError(
-                            f"cache row for {key} truncated "
-                            f"({len(buf)} of {self.row_bytes} bytes); "
-                            "data file inconsistent with manifest")
-                    out.write(buf)
-                    entry["row"] = i
+            try:
+                with open(tmp, "wb") as out:
+                    for key, entry in live:
+                        buf = os.pread(self._read_fd, self.row_bytes,
+                                       entry["row"] * self.row_bytes)
+                        if len(buf) != self.row_bytes:
+                            raise RuntimeError(
+                                f"cache row for {key} truncated "
+                                f"({len(buf)} of {self.row_bytes} bytes); "
+                                "data file inconsistent with manifest")
+                        out.write(buf)
+            except Exception:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            # commit: only after every row copied cleanly do the manifest
+            # rows and fds move to the compacted file
+            for i, (_key, entry) in enumerate(live):
+                entry["row"] = i
             self._append_f.close()
             os.close(self._read_fd)
             os.replace(tmp, self.data_path)

@@ -23,6 +23,7 @@ fallback and the correctness oracle for it.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
 import logging
 import os
 from typing import Iterator, Sequence
@@ -212,18 +213,24 @@ class ImageBatcher:
                 yield batch, names, n_valid
 
     def _decode_cached(self, path: str, image_size: int) -> np.ndarray | None:
-        """Cache-first decode: hit → raw u8 row straight from the cache
-        file; miss → full decode, appended for every later pass.  f32
-        output applies the identical normalization math decode_image uses
-        (both start from the same post-resize u8 array)."""
-        arr = self.cache.get(path)
-        if arr is None:
-            arr = decode_image_u8(path, image_size)
-            if arr is not None:
-                self.cache.put(path, arr)
-        if arr is None:
-            return None
-        return arr if self.out_dtype == "u8" else normalize_array(arr)
+        return _cached_decode(self.cache, path, image_size, self.out_dtype)
+
+
+def _cached_decode(cache, path: str, image_size: int,
+                   out_dtype: str) -> np.ndarray | None:
+    """Cache-first decode (shared by ImageBatcher and PairBatcher): hit →
+    raw u8 row straight from the cache file; miss → full decode, appended
+    for every later pass.  f32 output applies the identical normalization
+    math decode_image uses (both start from the same post-resize u8
+    array).  Thread-safe: DecodedU8Cache locks get/put internally."""
+    arr = cache.get(path)
+    if arr is None:
+        arr = decode_image_u8(path, image_size)
+        if arr is not None:
+            cache.put(path, arr)
+    if arr is None:
+        return None
+    return arr if out_dtype == "u8" else normalize_array(arr)
 
 
 def _native_decode_chunk(chunk: list[str], image_size: int,
@@ -343,10 +350,18 @@ class PairBatcher:
                  positive_paths: Sequence[str], node_idx: Sequence[int],
                  batch_size: int = 32, image_size: int = IMAGE_SIZE,
                  num_workers: int = 8, use_native: bool | None = None,
-                 out_dtype: str = "f32"):
+                 out_dtype: str = "f32", cache=None):
         """``out_dtype="u8"``: yield raw uint8 RGB (the fine-tune step
         normalizes on device when it sees uint8 — 4× less host→device
-        transfer per step)."""
+        transfer per step).
+
+        ``cache``: optional ``input.cache.DecodedU8Cache`` — the same
+        contract as ImageBatcher's: decode misses are appended, hits skip
+        the decoder, so every fine-tune epoch after the first streams at
+        cache-read speed instead of decode speed (the reference's
+        DataLoader re-decodes every image every epoch,
+        /root/reference/src/train.py:4292-4308).  Caller owns the cache
+        lifecycle (flush/close)."""
         assert len(anchor_paths) == len(positive_paths) == len(node_idx)
         self.anchors = list(anchor_paths)
         self.positives = list(positive_paths)
@@ -362,6 +377,10 @@ class PairBatcher:
 
             use_native = native.native_available()
         self.use_native = use_native
+        self.cache = cache
+        if cache is not None and cache.image_size != image_size:
+            raise ValueError(f"cache stores {cache.image_size}px rows, "
+                             f"batcher wants {image_size}px")
         self._pool = cf.ThreadPoolExecutor(self.num_workers)
         self._assembler = cf.ThreadPoolExecutor(1)
 
@@ -372,7 +391,8 @@ class PairBatcher:
                      + [self.positives[i] for i in ids])
             batch, survivors = _native_decode_chunk(paths, self.image_size,
                                                     self.num_workers,
-                                                    self.out_dtype)
+                                                    self.out_dtype,
+                                                    self.cache)
             alive = set(survivors)
             keep = [j for j in range(len(ids))
                     if j in alive and j + len(ids) in alive]
@@ -382,7 +402,12 @@ class PairBatcher:
                                      batch[[j + len(ids) for j in keep]]])
             nodes = self.node_idx[[ids[j] for j in keep]]
             return images, nodes
-        decode = decode_image_u8 if self.out_dtype == "u8" else decode_image
+        if self.cache is not None:
+            decode = functools.partial(_cached_decode, self.cache,
+                                       out_dtype=self.out_dtype)
+        else:
+            decode = (decode_image_u8 if self.out_dtype == "u8"
+                      else decode_image)
         a_futs = [self._pool.submit(decode, self.anchors[i],
                                     self.image_size) for i in ids]
         p_futs = [self._pool.submit(decode, self.positives[i],

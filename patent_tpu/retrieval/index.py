@@ -225,6 +225,7 @@ def _topk_scores_int8_scan(queries: jax.Array, gal_i8: jax.Array,
     q_i8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
     n_gallery = gal_i8.shape[0]
     n_queries = queries.shape[0]
+    block_size = max(block_size, k)      # approx_max_k needs k < block cols
     n_blocks = -(-n_gallery // block_size)
     padded = n_blocks * block_size
     gal = jnp.pad(gal_i8, ((0, padded - n_gallery), (0, 0)))
@@ -398,6 +399,134 @@ def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
             np.take_along_axis(pidx, order, axis=1))
 
 
+@functools.partial(jax.jit, static_argnames=("pool", "block_size"))
+def _cosine_pool_scan_bf16(queries: jax.Array, gal_bf16: jax.Array,
+                           valid: jax.Array, pool: int,
+                           block_size: int = 8192
+                           ) -> tuple[jax.Array, jax.Array]:
+    """XLA scan twin of the fused bf16 cosine candidate kernel (CPU
+    fallback + correctness oracle): same bf16 operands (pre-normalized
+    gallery rows, f32-normalized queries cast to bf16, f32 MXU
+    accumulate), ``approx_max_k`` per block like the int8 scan stage —
+    bf16-cosine score scale either way, so per-shard pools merge
+    consistently across a mesh."""
+    qf = jnp.asarray(queries, jnp.float32)
+    qn = qf / jnp.maximum(jnp.linalg.norm(qf, axis=-1, keepdims=True),
+                          1e-12)
+    q16 = qn.astype(jnp.bfloat16)
+    n = gal_bf16.shape[0]
+    n_queries = q16.shape[0]
+    block_size = max(block_size, pool)   # approx_max_k needs k < block cols
+    n_blocks = -(-n // block_size)
+    padded = n_blocks * block_size
+    gal = jnp.pad(gal_bf16, ((0, padded - n), (0, 0)))
+    gal = gal.reshape(n_blocks, block_size, -1)
+    vmask = jnp.pad(valid, (0, padded - n)).reshape(n_blocks, block_size)
+
+    def body(carry, inp):
+        best_vals, best_idx = carry
+        block, v_, block_i = inp
+        s = jax.lax.dot_general(
+            q16, block, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Q, B]
+        s = jnp.where(v_[None, :] > 0.0, s, -jnp.inf)
+        bvals, bpos = jax.lax.approx_max_k(s, pool, recall_target=0.99)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) \
+            + block_i * block_size
+        bidx = jnp.take_along_axis(col, bpos, axis=1)
+        cat_vals = jnp.concatenate([best_vals, bvals], axis=1)
+        cat_idx = jnp.concatenate([best_idx, bidx], axis=1)
+        vals, pos = jax.lax.top_k(cat_vals, pool)
+        return (vals, jnp.take_along_axis(cat_idx, pos, axis=1)), None
+
+    init = (jnp.full((n_queries, pool), -jnp.inf, jnp.float32),
+            jnp.zeros((n_queries, pool), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(body, init,
+                                  (gal, vmask, jnp.arange(n_blocks)))
+    return vals, idx
+
+
+def _cosine_fast_pool(queries: jax.Array, gal_bf16: jax.Array,
+                      valid: jax.Array, pool: int,
+                      block_size: int) -> tuple[jax.Array, jax.Array]:
+    """bf16 cosine candidate-stage dispatch: fused kernel on TPU (or
+    ``=force`` interpret), XLA bf16 scan everywhere else — bf16-cosine
+    values either way, so per-shard pools merge consistently."""
+    mode = os.environ.get("PATENT_TPU_FUSED_TOPK", "1")
+    if (mode != "0"
+            and bucket_topk_supported(gal_bf16.shape[0], pool,
+                                      _FUSED_BUCKETS, _FUSED_ROWS)
+            and (_on_tpu() or mode == "force")):
+        return bucket_topk_bf16(queries, gal_bf16, valid, pool,
+                                buckets=_FUSED_BUCKETS, rows=_FUSED_ROWS,
+                                interpret=not _on_tpu())
+    return _cosine_pool_scan_bf16(queries, gal_bf16, valid, pool,
+                                  block_size)
+
+
+def sharded_topk_search_cosine_fast(mesh: Mesh, queries,
+                                    gal_bf16: jax.Array, valid: jax.Array,
+                                    gallery_f32, k: int = 10,
+                                    block_size: int = 8192,
+                                    rerank_mult: int = DEFAULT_RERANK_MULT,
+                                    axis: str = "data"
+                                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Fused bf16 exact-cosine search with the gallery row-sharded over
+    ``mesh[axis]`` — the round-4 single-chip serving win (fused candidate
+    kernel + exact re-rank, ~5.5× the scan's QPS at 1M×512) composed with
+    the mesh path, so ``--quantize``-off serving no longer drops to the
+    blockwise scan when a mesh is attached.
+
+    Each shard streams its bf16 gallery rows through the bucketed-top-2
+    kernel (fused on TPU, XLA scan twin elsewhere — bf16-cosine values are
+    cross-shard comparable: rows are pre-normalized, queries normalized
+    identically per shard); one all_gather merges per-shard pools; the
+    final ordering comes from the exact f32 re-rank (device if
+    ``gallery_f32`` is a ``jax.Array``, host otherwise), identical to the
+    scan oracle's including the lower-gallery-index tie-break.  Replaces
+    /root/reference/notebooks/retrieval.ipynb cell 3 at pod scale."""
+    from jax import shard_map
+
+    q = jnp.asarray(queries, jnp.float32)
+    n = gal_bf16.shape[0]
+    pool = min(max(k * rerank_mult, k), n)
+    n_shards = mesh.shape[axis]
+    per_shard = -(-n // n_shards)
+    padded = per_shard * n_shards
+    gal_p = jnp.pad(gal_bf16, ((0, padded - n), (0, 0)))
+    valid_p = jnp.pad(valid, (0, padded - n))     # zeros mask padded rows
+
+    def shard_fn(qs, g, v):
+        shard_i = jax.lax.axis_index(axis)
+        vals, idx = _cosine_fast_pool(qs, g, v, min(pool, per_shard),
+                                      block_size)
+        idx = idx + shard_i * per_shard
+        vals = jnp.where(idx < n, vals, -jnp.inf)
+        all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+        mvals, pos = jax.lax.top_k(all_vals, pool)
+        return mvals, jnp.take_along_axis(all_idx, pos, axis=1)
+
+    fn = shard_map(shard_fn, mesh=mesh,
+                   in_specs=(P(), P(axis), P(axis)),
+                   out_specs=(P(), P()), check_vma=False)
+    _pv, pidx = fn(q, gal_p, valid_p)
+    if isinstance(gallery_f32, jax.Array):
+        vals, idx = _cosine_rerank_device(pidx, q, gallery_f32, k)
+        return np.asarray(vals), np.asarray(idx)
+    # host-resident f32 gallery: re-rank on host with the oracle's
+    # tie-break (pool pre-sorted by gallery index, stable score sort)
+    pidx = np.sort(np.asarray(pidx), axis=1)
+    qn = np.asarray(q, np.float32)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    gn = np.asarray(gallery_f32)[pidx]
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    exact = np.einsum("qd,qpd->qp", qn, gn)
+    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(pidx, order, axis=1))
+
+
 def _poincare_dist_np(u: np.ndarray, v: np.ndarray, c: float) -> np.ndarray:
     """f64 host Poincaré distance, cancellation-free direct form:
     d = arcosh(1 + 2c|u−v|² / ((1−c|u|²)(1−c|v|²))) / √c.
@@ -421,6 +550,7 @@ def _poincare_pool_scan(queries: jax.Array, gal: PoincareGallery, pool: int,
     q_i8, qs, q_sq = quantize_poincare_queries(queries)
     n = gal.gal_i8.shape[0]
     n_queries = q_i8.shape[0]
+    block_size = max(block_size, pool)   # approx_max_k needs k < block cols
     n_blocks = -(-n // block_size)
     padded = n_blocks * block_size
     gal_b = jnp.pad(gal.gal_i8, ((0, padded - n), (0, 0)))
@@ -766,6 +896,23 @@ class EmbeddingIndex:
                     block_size=block_size)
             return np.asarray(vals), np.asarray(idx)
         if self.mesh is not None:
+            if (self.similarity == "cosine"
+                    and os.environ.get("PATENT_TPU_FUSED_TOPK", "1") != "0"
+                    and k * DEFAULT_RERANK_MULT < len(self.names)):
+                # fused bf16 candidates per shard + exact re-rank — the
+                # mesh path no longer drops to the blockwise scan for
+                # --quantize-off cosine serving (round-4 gap).  The bf16
+                # copy serves both the fused kernel (TPU) and its scan
+                # twin (elsewhere), so build it whenever the pool
+                # actually narrows the gallery
+                if self._gal16 is None:
+                    self._gal16, self._gal16_valid = \
+                        prepare_cosine_gallery_bf16(self.embeddings)
+                vals, idx = sharded_topk_search_cosine_fast(
+                    self.mesh, q, self._gal16, self._gal16_valid,
+                    self.embeddings, k=k, block_size=block_size,
+                    axis=self.axis)
+                return np.asarray(vals), np.asarray(idx)
             vals, idx = sharded_topk_search(self.mesh, q, self.embeddings, k=k,
                                             similarity=self.similarity,
                                             block_size=block_size, c=self.c,

@@ -290,7 +290,8 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
                  cfg: ClipFinetuneConfig,
                  val_fraction: float = 0.1,
                  clip_params=None, logger=None, ckpt=None,
-                 image_size: int | None = None) -> tuple[dict, dict]:
+                 image_size: int | None = None,
+                 cache=None) -> tuple[dict, dict]:
     """Full fine-tuning loop (retrieval.ipynb cell 20 ``fine_tune_clip``):
 
     * anchors ∥ positives decoded through the input pipeline,
@@ -333,10 +334,15 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
     # anchor∥positive batch while the device steps on the current one (the
     # reference uses DataLoader(num_workers=16-32), train.py:4292-4308)
     # u8 batches + on-device normalization (loss_fn branches on dtype):
-    # 4× less transfer per step, and this loop's images never leave it
+    # 4× less transfer per step, and this loop's images never leave it.
+    # With a decoded-u8 ``cache``, epoch 1 fills it and every later epoch
+    # (plus every validation pass) streams at cache-read speed — the
+    # reference re-decodes EVERY image EVERY epoch
+    # (/root/reference/src/train.py:4292-4308)
     batcher = PairBatcher(anchor_paths, positive_paths, graph_node_idx,
                           batch_size=cfg.batch_size, image_size=image_size,
-                          num_workers=cfg.num_workers, out_dtype="u8")
+                          num_workers=cfg.num_workers, out_dtype="u8",
+                          cache=cache)
 
     def validate(params, alpha):
         tot, nb = 0.0, 0

@@ -21,7 +21,9 @@ def test_bench_json_schema(monkeypatch, capsys):
     """main() emits progressively richer complete JSON lines (the driver
     takes the LAST); every line must parse and carry the required keys."""
     bench = load_bench()
-    monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (True, {"probe_outcome": "ok",
+                                                "probe_elapsed_s": 12.0}))
     monkeypatch.setattr(bench, "bench_embed_int8", lambda *a, **k: {
         "int8": 3000.0, "int8_spread": [2990.0, 3010.0], "_ctx": {}})
     monkeypatch.setattr(bench, "bench_embed_pruned", lambda *a, **k: {
@@ -74,7 +76,9 @@ def test_bench_deadline_skips_sections(monkeypatch, capsys):
     as skipped — the headline line still lands."""
     bench = load_bench()
     monkeypatch.setenv("PATENT_BENCH_DEADLINE_S", "0")
-    monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (True, {"probe_outcome": "ok",
+                                                "probe_elapsed_s": 0.1}))
     called = []
     monkeypatch.setattr(bench, "bench_embed_int8",
                         lambda *a, **k: called.append("embed"))
@@ -87,51 +91,130 @@ def test_bench_deadline_skips_sections(monkeypatch, capsys):
 
 
 def test_bench_unresponsive_device_path(monkeypatch, capsys):
-    """A wedged device yields an error JSON line, never a hang or crash.
-
-    The mocked probe fails INSTANTLY, which the retry loop must read as
-    "no backend at all" and not sleep/retry (a wedge is a probe that
-    burned its full timeout)."""
+    """A wedged device yields an error JSON line, never a hang or crash —
+    with the probe's failure mode + stderr tail recorded in extras so the
+    artifact is diagnosable on its own (r4 ADVICE: distinguish a timeout
+    wedge from a fast no-backend exit)."""
     bench = load_bench()
-    monkeypatch.setattr(bench, "_device_responsive", lambda *a, **k: False)
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (False, {
+                            "probe_outcome": "timeout",
+                            "probe_elapsed_s": 170.0,
+                            "probe_stderr_tail": "RPC hung"}))
     import time as _time
     t0 = _time.monotonic()
     bench.main()
-    assert _time.monotonic() - t0 < 20, "fast failure must not retry/sleep"
+    assert _time.monotonic() - t0 < 20, "failure path must not retry/sleep"
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1
     payload = json.loads(out[0])
     assert payload["value"] == 0.0
-    assert "error" in payload["extras"]
+    assert "wedged" in payload["extras"]["error"]
+    assert payload["extras"]["probe_outcome"] == "timeout"
+    assert payload["extras"]["probe_stderr_tail"] == "RPC hung"
+
+    # fast non-zero exit = no backend at all, reported as such
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (False, {
+                            "probe_outcome": "exit-1",
+                            "probe_elapsed_s": 2.0,
+                            "probe_stderr_tail": "ModuleNotFoundError"}))
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert "no backend" in payload["extras"]["error"]
 
 
-def test_wait_for_device_retries_slow_probe(monkeypatch):
-    """A probe that burns real time (a wedge) is retried while the budget
-    allows; a later success is accepted."""
+def test_probe_runs_before_parent_backend_init(monkeypatch, capsys):
+    """The round-4 regression: the parent initialized its TPU client
+    (enable_compilation_cache → jax.default_backend) BEFORE probing, and
+    the single-client tunnel starved every probe child.  Pin the order:
+    the probe subprocess must complete before the parent touches jax."""
+    import patent_tpu.utils.compile_cache as cc
+
     bench = load_bench()
-    calls = {"n": 0}
-    now = {"t": 0.0}
-    monkeypatch.setattr(bench.time, "monotonic", lambda: now["t"])
-    monkeypatch.setattr(bench.time, "sleep",
-                        lambda s: now.__setitem__("t", now["t"] + s))
+    order = []
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (order.append("probe") or
+                                         (True, {"probe_outcome": "ok",
+                                                 "probe_elapsed_s": 1.0})))
+    monkeypatch.setattr(cc, "enable_compilation_cache",
+                        lambda *a, **k: order.append("backend_init") or "")
+    monkeypatch.setenv("PATENT_BENCH_DEADLINE_S", "0")  # skip all sections
+    bench.main()
+    assert order == ["probe", "backend_init"]
 
-    def probe(cap=170.0):
-        calls["n"] += 1
-        now["t"] += min(cap, 170.0)       # probe burns its full timeout
-        return calls["n"] >= 2            # second attempt succeeds
 
-    monkeypatch.setattr(bench, "_device_responsive", probe)
-    assert bench._wait_for_device(deadline=600.0) is True
-    assert calls["n"] == 2
+def test_probe_device_fast_exit(monkeypatch):
+    """A child that exits non-zero quickly is classified exit-<rc> with
+    its stderr tail captured, not a timeout."""
+    bench = load_bench()
+    import sys
 
-    # never-recovering wedge: gives up BEFORE the headline budget is gone
-    calls["n"] = 0
-    now["t"] = 0.0
-    monkeypatch.setattr(bench, "_device_responsive",
-                        lambda cap=170.0: (now.__setitem__(
-                            "t", now["t"] + min(cap, 170.0)), False)[1])
-    assert bench._wait_for_device(deadline=600.0) is False
-    assert 600.0 - now["t"] >= 170.0, "headline budget must survive"
+    monkeypatch.setattr(sys, "executable", sys.executable)
+    import subprocess
+
+    class R:
+        returncode = 3
+        stdout = ""
+        stderr = "x" * 2000 + "boom"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    ok, info = bench._probe_device(5.0)
+    assert not ok
+    assert info["probe_outcome"] == "exit-3"
+    assert info["probe_stderr_tail"].endswith("boom")
+    assert len(info["probe_stderr_tail"]) == 800
+
+    def raise_timeout(*a, **k):
+        raise subprocess.TimeoutExpired(cmd="x", timeout=5.0,
+                                        stderr=b"hung in RPC")
+
+    monkeypatch.setattr(subprocess, "run", raise_timeout)
+    ok, info = bench._probe_device(5.0)
+    assert not ok
+    assert info["probe_outcome"] == "timeout"
+    assert info["probe_stderr_tail"] == "hung in RPC"
+
+
+def test_headline_low_rep_fallback(monkeypatch, capsys):
+    """A tight remaining budget (≥ the embed gate, < the full 3-rep warm
+    cost) still lands an official headline, at reps=1, flagged in extras."""
+    bench = load_bench()
+    monkeypatch.setenv("PATENT_BENCH_DEADLINE_S", "200")  # 175 ≤ 200 < 240
+    monkeypatch.setattr(bench, "_probe_device",
+                        lambda *a, **k: (True, {"probe_outcome": "ok",
+                                                "probe_elapsed_s": 0.1}))
+    seen = {}
+
+    def fake_embed(*a, reps=3, **k):
+        seen["reps"] = reps
+        return {"int8": 7000.0, "int8_spread": [7000.0, 7000.0], "_ctx": {}}
+
+    monkeypatch.setattr(bench, "bench_embed_int8", fake_embed)
+    # stub the remaining sections — only the headline path is under test
+    for name, stub in [
+        ("bench_recall_parity", lambda *a, **k: 1.0),
+        ("bench_embed_pruned", lambda *a, **k: {}),
+        ("bench_embed_bf16", lambda *a, **k: {
+            "bf16": 1.0, "bf16_spread": [1.0, 1.0], "int8_cosine_min": 1.0}),
+        ("bench_finetune_step", lambda *a, **k: {
+            "ms": 1.0, "ms_spread": [1.0, 1.0], "img_per_s": 1.0}),
+        ("bench_hyp_train", lambda *a, **k: (1.0, 1.0)),
+        ("bench_topk", lambda *a, **k: (1.0, [1.0, 1.0])),
+        ("bench_topk_cosine_fast", lambda *a, **k: (1.0, [1.0, 1.0],
+                                                    1.0, 1.0)),
+        ("bench_topk_int8", lambda *a, **k: (1.0, [1.0, 1.0], 1.0)),
+        ("bench_topk_poincare_fused", lambda *a, **k: (1.0, [1.0, 1.0],
+                                                       1.0)),
+    ]:
+        monkeypatch.setattr(bench, name, stub)
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    payload = json.loads(out[-1])
+    assert seen["reps"] == 1
+    assert payload["extras"]["headline_low_rep"] is True
+    assert payload["value"] == 7000.0
 
 
 def test_timed_throughput_differencing():

@@ -185,3 +185,96 @@ def test_vacuum_reclaims_dead_rows(corpus, tmp_path):
     np.testing.assert_array_equal(cache.get(corpus[0]), a0)
     np.testing.assert_array_equal(cache.get(corpus[1]), a1)
     cache.close()
+
+
+def test_pair_batcher_epoch2_decode_free(corpus, tmp_path):
+    """VERDICT r4 #3 done-criterion: with a cache attached, the fine-tune
+    input loop's SECOND epoch issues zero decodes — every row is a cache
+    hit — and yields bit-identical batches (the reference re-decodes every
+    image every epoch, /root/reference/src/train.py:4292-4308)."""
+    import patent_tpu.input.pipeline as pipe
+    from patent_tpu.input.pipeline import PairBatcher
+
+    anchors = corpus[0::2]
+    positives = corpus[1::2]
+    nodes = list(range(len(anchors)))
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    with PairBatcher(anchors, positives, nodes, batch_size=4, image_size=64,
+                     num_workers=2, out_dtype="u8", cache=cache,
+                     use_native=False) as pb:
+        ids = list(range(len(anchors)))
+        first = [(im.copy(), nd.copy()) for im, nd in pb.epoch(ids)]
+        assert first and cache.misses >= len(anchors)
+        assert len(cache) == len(anchors) + len(positives)
+        # epoch 2: poison the decoder — every row must come from the cache
+        calls = []
+
+        def boom(path, image_size):  # pragma: no cover - must not run
+            calls.append(path)
+            return None
+
+        orig = pipe.decode_image_u8
+        pipe.decode_image_u8 = boom
+        try:
+            second = [(im.copy(), nd.copy()) for im, nd in pb.epoch(ids)]
+        finally:
+            pipe.decode_image_u8 = orig
+        assert not calls, f"decoder ran on epoch 2: {calls[:3]}"
+        for (a_im, a_nd), (b_im, b_nd) in zip(first, second):
+            np.testing.assert_array_equal(a_im, b_im)
+            np.testing.assert_array_equal(a_nd, b_nd)
+    # f32 epochs read the same u8 rows through the shared normalize path
+    cache2 = DecodedU8Cache(str(tmp_path / "f32"), image_size=64)
+    with PairBatcher(anchors, positives, nodes, batch_size=4, image_size=64,
+                     num_workers=2, out_dtype="f32", cache=cache2,
+                     use_native=False) as pb32:
+        with_cache = [(im.copy(), nd.copy())
+                      for im, nd in pb32.epoch(list(range(len(anchors))))]
+    with PairBatcher(anchors, positives, nodes, batch_size=4, image_size=64,
+                     num_workers=2, out_dtype="f32",
+                     use_native=False) as pb_plain:
+        plain = [(im.copy(), nd.copy())
+                 for im, nd in pb_plain.epoch(list(range(len(anchors))))]
+    for (a_im, _), (b_im, _) in zip(with_cache, plain):
+        np.testing.assert_allclose(a_im, b_im, atol=1e-6)
+    cache2.close()
+    cache.close()
+
+
+def test_pair_batcher_cache_size_mismatch(corpus, tmp_path):
+    from patent_tpu.input.pipeline import PairBatcher
+
+    cache = DecodedU8Cache(str(tmp_path), image_size=32)
+    with pytest.raises(ValueError, match="32px rows"):
+        PairBatcher(corpus[0::2], corpus[1::2],
+                    list(range(len(corpus[0::2]))), image_size=64,
+                    cache=cache)
+    cache.close()
+
+
+def test_vacuum_corruption_contract(corpus, tmp_path):
+    """VERDICT r4 weak #6: vacuum() on a data file truncated behind a live
+    manifest raises RuntimeError cleanly, removes the tmp file, and leaves
+    the cache object USABLE (get misses past the truncation, put still
+    lands)."""
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    for p in corpus[:4]:
+        cache.put(p, decode_image_u8(p, 64))
+    cache.flush()
+    # truncate the data file mid-row behind the manifest's back
+    keep = cache.row_bytes * 2 + 100
+    with open(cache.data_path, "r+b") as f:
+        f.truncate(keep)
+    with pytest.raises(RuntimeError, match="data file inconsistent"):
+        cache.vacuum()
+    assert not os.path.exists(cache.data_path + ".tmp"), "tmp file leaked"
+    # object remains usable: intact rows still hit...
+    np.testing.assert_array_equal(cache.get(corpus[0]),
+                                  decode_image_u8(corpus[0], 64))
+    # ...rows past the truncation miss via the short-read guard...
+    assert cache.get(corpus[3]) is None
+    # ...and the manifest rows were NOT partially renumbered by the failed
+    # vacuum (row 1 still reads back its own content, not row 0's)
+    np.testing.assert_array_equal(cache.get(corpus[1]),
+                                  decode_image_u8(corpus[1], 64))
+    cache.close()
