@@ -716,7 +716,13 @@ def main() -> None:
 
     def run_embed_pruned():
         # the sparsity-aware serving modes; NOT the headline (the headline
-        # stays the exact tower)
+        # stays the exact tower).  The north-star resolution ships with
+        # the artifact so README and bench tell one auditable story
+        result["extras"]["north_star_10k"] = (
+            "resolved r5: exact int8 ~= 95% of the ~8.15k shape-intrinsic "
+            "ceiling (head-dot padding + head-loop serialization remain); "
+            "--profile turbo (keep=127, pruned128 below) exceeds 10k as an "
+            "explicitly-approximate mode — see README")
         embed = bench_embed_pruned(embed_ctx)
         for s in (176, 128):
             result["extras"].update({
@@ -811,11 +817,13 @@ def main() -> None:
     emit()
     # the training flagship (cell 20): step time + trained-img/s.  Before
     # the 1M-gallery sections for the same fragmentation reason as hyp_train
-    section("finetune_step", est_cost_s=70, fn=run_finetune)
+    # (r5 measured warm: 56 s)
+    section("finetune_step", est_cost_s=65, fn=run_finetune)
     emit()
     # hyp-train BEFORE the 1M-gallery benches: the big gallery allocations
     # fragment HBM/host memory and depress the small-step timing
-    section("hyp_train", est_cost_s=80, fn=run_hyp)
+    # (r5 measured warm: 96 s)
+    section("hyp_train", est_cost_s=100, fn=run_hyp)
     emit()
     section("topk_1M", est_cost_s=45, fn=run_topk)
     emit()

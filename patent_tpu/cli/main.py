@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "tests/test_finetune_lift.py and the golden "
                         "pipeline; B/16-scale table in "
                         "tools/pruning_quality_b16.py")
+    p.add_argument("--profile", choices=["exact", "recommended", "turbo"],
+                   default=None,
+                   help="named serving profile (utils/config."
+                        "SERVING_PROFILES): exact = int8 full tokens "
+                        "(7.7k img/s, cosine 0.99978); recommended = int8 "
+                        "+ keep-tokens 175 (8.6k img/s, cosine 0.99915, "
+                        "views-corpus mAP -0.022 / R@10 -0.050); turbo = "
+                        "int8 + keep-tokens 127 (12.3k img/s, cosine "
+                        "0.99131, mAP -0.053 / R@10 -0.072). Shorthand "
+                        "for --quantize/--keep-tokens; explicit flags win")
     p.add_argument("--port", type=int, default=8777,
                    help="retrieval server port (serve action)")
     p.add_argument("--positives", choices=["patent", "cpc"],
@@ -134,6 +144,17 @@ def main(argv: list[str] | None = None) -> int:
         if plat == "cpu" and ndev:
             jax.config.update("jax_num_cpu_devices", int(ndev))
     args = build_parser().parse_args(argv)
+    if args.profile is not None:
+        # named serving profile → quantize/keep_tokens defaults; explicit
+        # flags win (a user combining --profile with --keep-tokens is
+        # dialing deliberately)
+        from ..utils.config import SERVING_PROFILES
+
+        prof = SERVING_PROFILES[args.profile]
+        if not args.quantize:
+            args.quantize = prof["quantize"]
+        if args.keep_tokens is None:
+            args.keep_tokens = prof["keep_tokens"]
     from ..utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()

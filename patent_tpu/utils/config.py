@@ -13,6 +13,34 @@ import dataclasses
 import json
 from typing import Sequence
 
+# Named serving profiles (``--profile``): the official resolution of
+# BASELINE.json's 10k-img/s/chip north star.  The exact int8 tower is
+# measured at ~95% of its ~8.15k shape-intrinsic ceiling on v5e (README
+# "speed-of-light" note: the residual is K=64/N=65 head-dot padding +
+# head-loop serialization, not recoverable by op-level restructuring), so
+# 10k at FULL fidelity is not reachable on this hardware — the framework
+# instead ships the dial as named, quality-pinned configs:
+#
+#   exact        int8 PTQ, all 197 tokens — 7.7k img/s, min feature cosine
+#                0.99978 vs bf16; ranking deltas ≈ int8_delta golden
+#                (mAP −0.004, R@10 −0.003 on the views corpus).
+#   recommended  int8 + ink-mass keep=175 — 8.6k img/s at feature cosine
+#                ≥ 0.99915; views-corpus ranking deltas golden-pinned
+#                (pruned_kt57_delta: mAP −0.022, R@10 −0.050).
+#   turbo        int8 + keep=127 (S=128: exact MXU tiles) — 12.3k img/s,
+#                BEATS the 10k north star as an explicitly-approximate
+#                mode; cosine 0.99131, deltas pinned (pruned_kt41_delta:
+#                mAP −0.053, R@10 −0.072).
+#
+# Feature-cosine marketing alone overstates pruning fidelity — quote the
+# ranking deltas alongside (VERDICT r4); both live in
+# tests/golden_pipeline_metrics.json and re-pin on every golden run.
+SERVING_PROFILES: dict[str, dict] = {
+    "exact": {"quantize": True, "keep_tokens": None},
+    "recommended": {"quantize": True, "keep_tokens": 175},
+    "turbo": {"quantize": True, "keep_tokens": 127},
+}
+
 
 @dataclasses.dataclass
 class HypTrainConfig:

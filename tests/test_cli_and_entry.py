@@ -129,3 +129,29 @@ def test_eval_with_real_corpus_split(tmp_path):
     # re-run reuses the existing split + saved index
     rc = run_cli(["eval", "--path", str(tmp_path)])
     assert rc == 0
+
+
+def test_profile_named_serving_configs(tmp_path, capsys):
+    """--profile resolves SERVING_PROFILES to quantize/keep_tokens (the
+    round-5 official north-star dial); explicit flags win over the
+    profile's values."""
+    from patent_tpu.utils.config import SERVING_PROFILES
+
+    assert SERVING_PROFILES["recommended"] == {"quantize": True,
+                                               "keep_tokens": 175}
+    assert SERVING_PROFILES["turbo"] == {"quantize": True,
+                                         "keep_tokens": 127}
+    assert SERVING_PROFILES["exact"] == {"quantize": True,
+                                         "keep_tokens": None}
+    # a synthetic corpus has few patches; the CLI clamps keep>=patches to
+    # the exact tower but must still run quantized end to end.  Explicit
+    # --keep-tokens beats the profile's 127.
+    rc = run_cli(["retrieve", "--path", str(tmp_path), "--synthetic",
+                  "--profile", "turbo", "--keep-tokens", "6", "--k", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "token selection: serving 6 of" in out
+    emb = tmp_path / "embeddings"
+    # profile turbo implies --quantize: the index is int8-tagged
+    assert any("int8" in f or "_q" in f for f in os.listdir(emb)) \
+        or any("_kt6" in f for f in os.listdir(emb)), os.listdir(emb)
