@@ -650,8 +650,10 @@ def main() -> None:
     # one client, so parent backend init first would starve the probe child
     # (the round-4 artifact failure).  One probe, no retries — see
     # _probe_device.  Cap it so a timed-out probe still leaves the fallback
-    # line inside the budget.
-    probe_cap = max(30.0, min(170.0, deadline - time.monotonic() - 10.0))
+    # line inside the budget — the remaining-budget term binds even under
+    # a tiny PATENT_BENCH_DEADLINE_S (a 30 s floor there would let a
+    # wedged probe block past the driver's kill with ZERO output lines)
+    probe_cap = min(170.0, max(5.0, deadline - time.monotonic() - 10.0))
     ok, probe_info = _probe_device(probe_cap)
     result["extras"].update(probe_info)
     if not ok:

@@ -66,19 +66,35 @@ class DecodedU8Cache:
         self._lock = threading.Lock()
         self._entries: dict[str, dict] = {}
         self._appends_since_flush = 0
+        size = (os.path.getsize(self.data_path)
+                if os.path.exists(self.data_path) else 0)
         if os.path.exists(self.manifest_path):
             try:
                 with open(self.manifest_path) as f:
                     manifest = json.load(f)
                 if manifest.get("image_size") == self.image_size:
-                    self._entries = manifest.get("entries", {})
+                    # generation check: the manifest records the data-file
+                    # size it was flushed against.  Appends after a flush
+                    # only GROW the file, so actual < recorded means the
+                    # manifest describes a different (pre-vacuum) layout —
+                    # e.g. a crash between vacuum()'s data-file replace
+                    # and its manifest flush.  Serving rows by the stale
+                    # numbering would return WRONG images (the signature
+                    # validates the source path, not the row content);
+                    # dropping the entries is always safe (re-decode).
+                    recorded = manifest.get("data_bytes")
+                    if recorded is not None and size < recorded:
+                        log.warning(
+                            "cache manifest %s describes %d data bytes but "
+                            "file has %d (stale generation); rebuilding",
+                            self.manifest_path, recorded, size)
+                    else:
+                        self._entries = manifest.get("entries", {})
             except (json.JSONDecodeError, OSError) as e:
                 log.warning("unreadable cache manifest %s (%s); rebuilding",
                             self.manifest_path, e)
         # rows beyond the manifest (crash between append and flush) are
         # dead space; n_rows tracks the FILE so new appends land past them
-        size = (os.path.getsize(self.data_path)
-                if os.path.exists(self.data_path) else 0)
         self._n_rows = size // self.row_bytes
         # drop manifest entries pointing past a truncated file
         self._entries = {k: v for k, v in self._entries.items()
@@ -141,6 +157,10 @@ class DecodedU8Cache:
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"image_size": self.image_size,
+                       # generation marker (see __init__): actual file
+                       # size < this at load ⇒ the manifest is from a
+                       # different data-file generation — drop it
+                       "data_bytes": self._n_rows * self.row_bytes,
                        "entries": self._entries}, f)
         os.replace(tmp, self.manifest_path)
         self._appends_since_flush = 0
@@ -173,7 +193,12 @@ class DecodedU8Cache:
         leaves the cache object fully USABLE — the tmp file is removed, no
         manifest entry or fd is touched, and later get/put calls keep
         operating on the original data file (rows past the truncation
-        simply miss via the short-read guard in ``get``)."""
+        simply miss via the short-read guard in ``get``).  Commit-phase
+        failures (ENOSPC on the replace, fd reopen) also leave the object
+        usable on its original fds/layout, and a crash between the
+        data-file replace and the manifest flush is caught at next open by
+        the ``data_bytes`` generation check — stale manifests are dropped
+        rather than serving wrong rows."""
         with self._lock:
             # recent put()s may still sit in the BufferedWriter (manifest
             # flush is every _MANIFEST_FLUSH_EVERY appends); pread on the
@@ -200,14 +225,33 @@ class DecodedU8Cache:
                 except OSError:
                     pass
                 raise
-            # commit: only after every row copied cleanly do the manifest
-            # rows and fds move to the compacted file
+            # commit, ordered so a failure at ANY step leaves the object
+            # usable on the OLD layout (fds keep the old inode alive even
+            # after the on-disk replace; entries are renumbered last):
+            # replace → open new fds → swap → renumber → close old.
+            # A crash between the replace and the manifest flush is caught
+            # at next open by the data_bytes generation check (__init__).
+            try:
+                os.replace(tmp, self.data_path)
+            except OSError:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
+            try:
+                new_append = open(self.data_path, "ab")
+                new_read = os.open(self.data_path, os.O_RDONLY)
+            except OSError:
+                # on-disk file is compacted but this object stays on the
+                # old inode via its open fds — degraded (appends invisible
+                # to later opens) yet consistent; next open re-decodes
+                raise
+            old_append, old_read = self._append_f, self._read_fd
+            self._append_f, self._read_fd = new_append, new_read
             for i, (_key, entry) in enumerate(live):
                 entry["row"] = i
-            self._append_f.close()
-            os.close(self._read_fd)
-            os.replace(tmp, self.data_path)
             self._n_rows = len(live)
-            self._append_f = open(self.data_path, "ab")
-            self._read_fd = os.open(self.data_path, os.O_RDONLY)
+            old_append.close()
+            os.close(old_read)
             self._flush_locked()

@@ -326,6 +326,23 @@ def _cosine_rerank_device(pidx: jax.Array, queries: jax.Array,
     return vals, jnp.take_along_axis(pidx, pos, axis=1)
 
 
+def _cosine_rerank_host(pidx, queries, gallery_f32, k: int
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Exact f32 host re-rank of a candidate pool with the scan oracle's
+    tie-break (pool pre-sorted by gallery index, stable descending score
+    sort) — ONE copy of the tie-break-sensitive logic, shared by the
+    single-device and sharded cosine-fast host paths."""
+    pidx = np.sort(np.asarray(pidx), axis=1)
+    qn = np.asarray(queries, np.float32)
+    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
+    gn = np.asarray(gallery_f32)[pidx]
+    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    exact = np.einsum("qd,qpd->qp", qn, gn)
+    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(exact, order, axis=1),
+            np.take_along_axis(pidx, order, axis=1))
+
+
 def fused_cosine_eligible(n: int, k: int,
                           rerank_mult: int = DEFAULT_RERANK_MULT) -> bool:
     """True iff ``topk_search_cosine_fast`` would take the fused bf16
@@ -385,18 +402,7 @@ def topk_search_cosine_fast(queries, gal_bf16: jax.Array, valid: jax.Array,
     if isinstance(gallery_f32, jax.Array):
         vals, idx = _cosine_rerank_device(pidx, q, gallery_f32, k)
         return np.asarray(vals), np.asarray(idx)
-    # host-resident f32 gallery: re-rank the pool rows on host.  Pre-sort
-    # the pool by gallery index so the stable score sort breaks ties like
-    # the scan oracle (lower gallery index first) — see _cosine_rerank_device
-    pidx = np.sort(np.asarray(pidx), axis=1)
-    qn = np.asarray(q, np.float32)
-    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
-    gn = np.asarray(gallery_f32)[pidx]
-    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
-    exact = np.einsum("qd,qpd->qp", qn, gn)
-    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
-    return (np.take_along_axis(exact, order, axis=1),
-            np.take_along_axis(pidx, order, axis=1))
+    return _cosine_rerank_host(pidx, q, gallery_f32, k)
 
 
 @functools.partial(jax.jit, static_argnames=("pool", "block_size"))
@@ -482,8 +488,16 @@ def sharded_topk_search_cosine_fast(mesh: Mesh, queries,
     cross-shard comparable: rows are pre-normalized, queries normalized
     identically per shard); one all_gather merges per-shard pools; the
     final ordering comes from the exact f32 re-rank (device if
-    ``gallery_f32`` is a ``jax.Array``, host otherwise), identical to the
-    scan oracle's including the lower-gallery-index tie-break.  Replaces
+    ``gallery_f32`` is a ``jax.Array``, host otherwise) with the scan
+    oracle's lower-gallery-index tie-break.  Ordering matches the oracle
+    under the SAME exactness contract (and caveat) as the single-device
+    ``topk_search_cosine_fast``: the true top-k must survive the
+    per-shard candidate stage — bucket-capacity losses on >2 exact
+    duplicates per bucket class (see that docstring), and, on the scan
+    twin, ``approx_max_k``'s per-block 0.99 recall target (absorbed by
+    the 8×-over-fetched pool; exact on CPU, where approx_max_k lowers to
+    full sort), are the reachable divergences.  Parity is pinned in
+    tests/test_index.py and the multichip dryrun.  Replaces
     /root/reference/notebooks/retrieval.ipynb cell 3 at pod scale."""
     from jax import shard_map
 
@@ -514,17 +528,7 @@ def sharded_topk_search_cosine_fast(mesh: Mesh, queries,
     if isinstance(gallery_f32, jax.Array):
         vals, idx = _cosine_rerank_device(pidx, q, gallery_f32, k)
         return np.asarray(vals), np.asarray(idx)
-    # host-resident f32 gallery: re-rank on host with the oracle's
-    # tie-break (pool pre-sorted by gallery index, stable score sort)
-    pidx = np.sort(np.asarray(pidx), axis=1)
-    qn = np.asarray(q, np.float32)
-    qn = qn / np.maximum(np.linalg.norm(qn, axis=-1, keepdims=True), 1e-12)
-    gn = np.asarray(gallery_f32)[pidx]
-    gn = gn / np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
-    exact = np.einsum("qd,qpd->qp", qn, gn)
-    order = np.argsort(-exact, axis=1, kind="stable")[:, :k]
-    return (np.take_along_axis(exact, order, axis=1),
-            np.take_along_axis(pidx, order, axis=1))
+    return _cosine_rerank_host(pidx, q, gallery_f32, k)
 
 
 def _poincare_dist_np(u: np.ndarray, v: np.ndarray, c: float) -> np.ndarray:

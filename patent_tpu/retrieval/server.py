@@ -145,23 +145,33 @@ class MicroBatcher:
             self._pending.append(req)
             self.requests += 1
         while True:
-            with self._cv:
-                if req.done:
-                    break
-                if self._dispatcher_active:
-                    # a dispatcher exists; wake on hand-off/completion.
-                    # The timeout is pure self-healing (a dispatcher
-                    # thread killed without its finally) — the loop
-                    # re-checks and elects a replacement
-                    self._cv.wait(timeout=1.0)
-                    continue
-                self._dispatcher_active = True
+            # election and dispatch are exception-atomic: `elected` is set
+            # in the same locked region as the flag (elected first, so an
+            # async exception between the two assignments leaves only a
+            # harmless no-op clear), and the finally ALWAYS releases an
+            # election this thread won — an exception anywhere after the
+            # flag is set cannot wedge every future request behind a
+            # permanently-True _dispatcher_active
+            elected = False
             try:
+                with self._cv:
+                    if req.done:
+                        break
+                    if self._dispatcher_active:
+                        # a dispatcher exists; wake on hand-off or
+                        # completion.  The timeout is self-healing: if the
+                        # dispatcher died, the loop re-checks and elects a
+                        # replacement
+                        self._cv.wait(timeout=1.0)
+                        continue
+                    elected = True
+                    self._dispatcher_active = True
                 self._dispatch_until_served(req)
             finally:
-                with self._cv:
-                    self._dispatcher_active = False
-                    self._cv.notify_all()   # next dispatcher elects itself
+                if elected:
+                    with self._cv:
+                        self._dispatcher_active = False
+                        self._cv.notify_all()   # next dispatcher elects
         if req.error is not None:
             raise req.error
         return req.vals, req.idx
@@ -195,12 +205,13 @@ class MicroBatcher:
                         # within it (the first wave then forms whole
                         # instead of a 1-then-rest split), while a true
                         # solo pays ~0.3 ms against a ~3 ms dispatch
-                        self.solo_fastpaths += 1
                         time.sleep(min(3e-4, self.max_wait_s))
                         with self._cv:
                             burst = len(self._pending) > 1
                         if burst:                        # burst after all
                             time.sleep(self.max_wait_s)
+                        else:
+                            self.solo_fastpaths += 1
                 with self._cv:
                     take = 0
                     rows = 0

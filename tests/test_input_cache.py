@@ -278,3 +278,60 @@ def test_vacuum_corruption_contract(corpus, tmp_path):
     np.testing.assert_array_equal(cache.get(corpus[1]),
                                   decode_image_u8(corpus[1], 64))
     cache.close()
+
+
+def test_vacuum_commit_phase_failure_keeps_cache_usable(corpus, tmp_path,
+                                                        monkeypatch):
+    """A commit-phase failure (os.replace raising, e.g. ENOSPC) leaves the
+    object usable on its ORIGINAL fds/layout — no closed fds, no
+    renumbered entries (the review-found gap in the r5 contract)."""
+    import patent_tpu.input.cache as cache_mod
+
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    rows = {p: decode_image_u8(p, 64) for p in corpus[:3]}
+    for p, arr in rows.items():
+        cache.put(p, arr)
+    cache.flush()
+
+    orig_replace = os.replace
+
+    def boom(src, dst):
+        if dst == cache.data_path:
+            raise OSError(28, "No space left on device")
+        return orig_replace(src, dst)
+
+    monkeypatch.setattr(cache_mod.os, "replace", boom)
+    with pytest.raises(OSError):
+        cache.vacuum()
+    monkeypatch.setattr(cache_mod.os, "replace", orig_replace)
+    assert not os.path.exists(cache.data_path + ".tmp"), "tmp file leaked"
+    # fds still open, entries NOT renumbered: every row reads back right
+    for p, arr in rows.items():
+        np.testing.assert_array_equal(cache.get(p), arr)
+    # and puts still land
+    cache.put(corpus[3], decode_image_u8(corpus[3], 64))
+    np.testing.assert_array_equal(cache.get(corpus[3]),
+                                  decode_image_u8(corpus[3], 64))
+    cache.close()
+
+
+def test_manifest_generation_check_drops_stale_entries(corpus, tmp_path):
+    """A manifest from a different data-file generation (recorded
+    data_bytes > actual file size — e.g. a crash between vacuum()'s
+    data-file replace and its manifest flush) is DROPPED at open instead
+    of serving wrong rows by stale numbering."""
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    for p in corpus[:4]:
+        cache.put(p, decode_image_u8(p, 64))
+    cache.close()
+    # simulate the crash window: data file shrinks (compacted by a vacuum
+    # whose manifest flush never happened) behind the old manifest
+    with open(cache.data_path, "r+b") as f:
+        f.truncate(cache.row_bytes * 2)
+    reopened = DecodedU8Cache(str(tmp_path), image_size=64)
+    assert len(reopened) == 0, "stale-generation manifest must be dropped"
+    # the cache rebuilds normally from here
+    reopened.put(corpus[0], decode_image_u8(corpus[0], 64))
+    np.testing.assert_array_equal(reopened.get(corpus[0]),
+                                  decode_image_u8(corpus[0], 64))
+    reopened.close()
