@@ -309,6 +309,27 @@ class RetrievalService:
         return [[(names[j], float(v)) for j, v in zip(ri, rv)]
                 for ri, rv in zip(idx, vals)]
 
+    def _resolve_name(self, name: str) -> int | None:
+        """Gallery row for a name: exact stored name first, then unique
+        BASENAME match — /search responses return basenames
+        (``_named``/``search`` below), so a client must be able to feed a
+        response name straight back into search_by_name (found live: the
+        CLI-served index stores full paths, and round-tripped basenames
+        404'd).  Returns None if unknown, −1 if the basename is ambiguous.
+        The basename map is built lazily once (the index is static)."""
+        names = self.engine.index.names
+        try:
+            return names.index(name)
+        except ValueError:
+            pass
+        if getattr(self, "_base_map", None) is None:
+            base_map: dict[str, int] = {}
+            for i, n in enumerate(names):
+                b = os.path.basename(n)
+                base_map[b] = -1 if b in base_map else i
+            self._base_map = base_map
+        return self._base_map.get(name)
+
     def search(self, payload: dict) -> dict:
         k = int(payload.get("k", 10))
         # feature/name queries ride the micro-batcher: concurrent requests
@@ -326,11 +347,14 @@ class RetrievalService:
                 # can never poison a coalesced batch)
                 return {"error": str(e), "_status": 400}
         elif "name" in payload:
-            try:
-                row = self.engine.index.names.index(payload["name"])
-            except ValueError:
+            row = self._resolve_name(str(payload["name"]))
+            if row is None:
                 return {"error": f"unknown gallery item: {payload['name']}",
                         "_status": 404}
+            if row < 0:
+                return {"error": f"ambiguous gallery item (basename "
+                                 f"matches multiple rows): "
+                                 f"{payload['name']}", "_status": 400}
             q = np.asarray(self.engine.index.embeddings[row])[None]
             results = self._named(*self.batcher.search(q, k))
         elif "image_path" in payload:

@@ -689,3 +689,46 @@ def test_index_mesh_cosine_fast_dispatch(data, eight_devices, monkeypatch):
     assert scan_ix._gal16 is None           # no bf16 copy built
     np.testing.assert_array_equal(zi, fi)
     np.testing.assert_allclose(zv, fv, atol=1e-6)
+
+
+def test_sharded_cosine_fast_edge_shapes(eight_devices, monkeypatch):
+    """Edge shapes for the sharded fused cosine path: galleries smaller
+    than the mesh, k at the pool boundary, duplicate rows — all must
+    match the scan oracle exactly."""
+    from patent_tpu.retrieval.index import (prepare_cosine_gallery_bf16,
+                                            sharded_topk_search_cosine_fast)
+
+    mesh = Mesh(np.array(eight_devices), ("data",))
+    monkeypatch.setenv("PATENT_TPU_FUSED_TOPK", "force")
+    rng = np.random.default_rng(11)
+    cases = [
+        (5, 3),      # fewer rows than shards (per-shard 1 after padding)
+        (9, 9),      # k == n (full ranking through the pool)
+        (64, 8),     # pool == n boundary (8*8 == 64)
+        (130, 16),   # pool (128) just under n
+    ]
+    for n, k in cases:
+        gallery = rng.standard_normal((n, 16)).astype(np.float32)
+        queries = rng.standard_normal((4, 16)).astype(np.float32)
+        gal16, valid = prepare_cosine_gallery_bf16(gallery)
+        sv, si = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
+                             k=k, block_size=32)
+        mv, mi = sharded_topk_search_cosine_fast(mesh, queries, gal16,
+                                                 valid,
+                                                 jnp.asarray(gallery),
+                                                 k=k, block_size=32)
+        np.testing.assert_array_equal(np.asarray(si), mi,
+                                      err_msg=f"case n={n} k={k}")
+        np.testing.assert_allclose(np.asarray(sv), mv, atol=1e-6)
+    # duplicate rows across shard boundaries: tie-break must still match
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    gallery = np.concatenate([base, base], axis=0)      # every row twice
+    queries = base[[0, 7, 13]] + 0.0
+    gal16, valid = prepare_cosine_gallery_bf16(gallery)
+    sv, si = topk_search(jnp.asarray(queries), jnp.asarray(gallery),
+                         k=6, block_size=16)
+    mv, mi = sharded_topk_search_cosine_fast(mesh, queries, gal16, valid,
+                                             jnp.asarray(gallery), k=6,
+                                             block_size=16)
+    np.testing.assert_array_equal(np.asarray(si), mi)
+    np.testing.assert_allclose(np.asarray(sv), mv, atol=1e-6)

@@ -435,3 +435,20 @@ def test_microbatch_wait_rearms_under_concurrency():
     before = batcher.solo_fastpaths
     batcher.search(queries[0], 5)
     assert batcher.solo_fastpaths == before + 1
+
+
+def test_search_by_name_accepts_response_basenames(live_server):
+    """Round-trip contract (found live on-chip): /search responses return
+    BASENAMES, so search_by_name must resolve a response name back to its
+    gallery row — exact stored name first, unique basename second."""
+    base, engine, _ = live_server
+    import os as _os
+
+    full = engine.index.names[2]
+    status, body = _post(base + "/search", {"name": full, "k": 2})
+    assert status == 200
+    returned = body["results"][0][0]["name"]        # a basename
+    assert returned == _os.path.basename(full)
+    status2, body2 = _post(base + "/search", {"name": returned, "k": 2})
+    assert status2 == 200, body2
+    assert body2["results"][0][0]["name"] == returned
