@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="query image path (retrieve action)")
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="continue train_hyp from the 'latest' checkpoint "
+                        "under --path/models (TRUE resume: params + "
+                        "optimizer state + epoch + RNG streams — epoch "
+                        "k+1 after resume equals epoch k+1 of an "
+                        "uninterrupted run)")
     p.add_argument("--synthetic", action="store_true",
                    help="force the synthetic corpus")
     p.add_argument("--quantize", action="store_true",
@@ -185,7 +191,7 @@ def main(argv: list[str] | None = None) -> int:
         if action == "train_hyp":
             ckpt = CheckpointManager(os.path.join(args.path, "models"))
             best_params, history = train_hyperbolic_retrieval(
-                td, cfg, logger=logger, ckpt=ckpt)
+                td, cfg, logger=logger, ckpt=ckpt, resume=args.resume)
             # final test-split mAP (reference train.py:1642-1757)
             fig_pos = {}
             for f, p in td.y_pos.tolist():

@@ -155,3 +155,17 @@ def test_profile_named_serving_configs(tmp_path, capsys):
     # profile turbo implies --quantize: the index is int8-tagged
     assert any("int8" in f or "_q" in f for f in os.listdir(emb)) \
         or any("_kt6" in f for f in os.listdir(emb)), os.listdir(emb)
+
+
+def test_train_hyp_cli_resume(tmp_path, capsys):
+    """--resume continues train_hyp from the 'latest' checkpoint (the TRUE
+    resume in train_hyp.py was previously unreachable from the CLI)."""
+    rc = run_cli(["train_hyp", "--synthetic", "--path", str(tmp_path),
+                  "--epochs", "2"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = run_cli(["train_hyp", "--synthetic", "--path", str(tmp_path),
+                  "--epochs", "3", "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed_from_epoch" in out
