@@ -63,34 +63,50 @@ class DecodedU8Cache:
                                       f"decoded_{self.image_size}.u8")
         self.manifest_path = os.path.join(
             cache_dir, f"decoded_{self.image_size}.json")
+        # vacuum-generation sidecar (see vacuum/_flush_locked): bumped
+        # BEFORE the data file is replaced, recorded in the manifest at
+        # flush — a manifest whose generation disagrees with the sidecar
+        # was flushed against a different data-file layout and is dropped
+        self.gen_path = os.path.join(cache_dir,
+                                     f"decoded_{self.image_size}.gen")
         self._lock = threading.Lock()
         self._entries: dict[str, dict] = {}
         self._appends_since_flush = 0
+        self._retired_fds: list[int] = []
+        self._closed = False
+        self._generation = self._read_generation()
         size = (os.path.getsize(self.data_path)
                 if os.path.exists(self.data_path) else 0)
+        if size % self.row_bytes:
+            # partial trailing row (crash mid-append): the append handle
+            # writes at the TRUE end of file, so without truncation every
+            # later put() records a row offset that disagrees with its
+            # byte position and get() silently returns misaligned bytes
+            size = (size // self.row_bytes) * self.row_bytes
+            log.warning("cache data file %s has a partial trailing row; "
+                        "truncating to %d bytes", self.data_path, size)
+            os.truncate(self.data_path, size)
         if os.path.exists(self.manifest_path):
+            # any malformed manifest — bad JSON, wrong schema, entries
+            # missing fields — rebuilds rather than crashing construction
             try:
                 with open(self.manifest_path) as f:
                     manifest = json.load(f)
-                if manifest.get("image_size") == self.image_size:
-                    # generation check: the manifest records the data-file
-                    # size it was flushed against.  Appends after a flush
-                    # only GROW the file, so actual < recorded means the
-                    # manifest describes a different (pre-vacuum) layout —
-                    # e.g. a crash between vacuum()'s data-file replace
-                    # and its manifest flush.  Serving rows by the stale
-                    # numbering would return WRONG images (the signature
-                    # validates the source path, not the row content);
-                    # dropping the entries is always safe (re-decode).
-                    recorded = manifest.get("data_bytes")
-                    if recorded is not None and size < recorded:
-                        log.warning(
-                            "cache manifest %s describes %d data bytes but "
-                            "file has %d (stale generation); rebuilding",
-                            self.manifest_path, recorded, size)
-                    else:
-                        self._entries = manifest.get("entries", {})
-            except (json.JSONDecodeError, OSError) as e:
+                if (manifest.get("image_size") == self.image_size
+                        and int(manifest.get("generation", 0))
+                        == self._generation):
+                    entries = manifest.get("entries", {})
+                    self._entries = {
+                        k: {"row": int(v["row"]), "sig": list(v["sig"])}
+                        for k, v in entries.items()}
+                elif manifest.get("image_size") == self.image_size:
+                    log.warning(
+                        "cache manifest %s is generation %s but sidecar "
+                        "says %d (crash mid-vacuum); rebuilding",
+                        self.manifest_path, manifest.get("generation", 0),
+                        self._generation)
+            except Exception as e:
+                self._entries = {}
                 log.warning("unreadable cache manifest %s (%s); rebuilding",
                             self.manifest_path, e)
         # rows beyond the manifest (crash between append and flush) are
@@ -104,6 +120,19 @@ class DecodedU8Cache:
         self.hits = 0
         self.misses = 0
 
+    def _read_generation(self) -> int:
+        try:
+            with open(self.gen_path) as f:
+                return int(f.read().strip())
+        except Exception:
+            return 0
+
+    def _write_generation(self, gen: int) -> None:
+        tmp = self.gen_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(gen))
+        os.replace(tmp, self.gen_path)
+
     @staticmethod
     def _sig(path: str) -> list[int] | None:
         try:
@@ -113,15 +142,24 @@ class DecodedU8Cache:
             return None
 
     def get(self, path: str) -> np.ndarray | None:
-        """Cached [S, S, 3] uint8 row for ``path``, or None on miss/stale."""
+        """Cached [S, S, 3] uint8 row for ``path``, or None on miss/stale.
+
+        Thread-safe against a concurrent ``vacuum()``: the (fd, row) pair
+        is captured atomically under the lock — vacuum renumbers rows and
+        swaps the read fd together under the same lock, and RETIRES the
+        old fd instead of closing it, so a pread on a captured pre-vacuum
+        pair still reads the old inode's bytes (identical content) rather
+        than mixing an old row number with the new layout."""
         key = os.path.abspath(path)
-        entry = self._entries.get(key)
-        if entry is None or entry["sig"] != self._sig(key):
-            with self._lock:
+        sig = self._sig(key)
+        with self._lock:
+            entry = self._entries.get(key)
+            if entry is None or entry["sig"] != sig:
                 self.misses += 1
-            return None
-        buf = os.pread(self._read_fd, self.row_bytes,
-                       entry["row"] * self.row_bytes)
+                return None
+            fd = self._read_fd
+            offset = entry["row"] * self.row_bytes
+        buf = os.pread(fd, self.row_bytes, offset)
         if len(buf) != self.row_bytes:      # truncated file: treat as miss
             with self._lock:
                 self.misses += 1
@@ -157,10 +195,11 @@ class DecodedU8Cache:
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"image_size": self.image_size,
-                       # generation marker (see __init__): actual file
-                       # size < this at load ⇒ the manifest is from a
-                       # different data-file generation — drop it
-                       "data_bytes": self._n_rows * self.row_bytes,
+                       # generation marker (see __init__/vacuum): a
+                       # manifest whose generation disagrees with the
+                       # sidecar was flushed against a different data-file
+                       # layout — drop it at open
+                       "generation": self._generation,
                        "entries": self._entries}, f)
         os.replace(tmp, self.manifest_path)
         self._appends_since_flush = 0
@@ -170,10 +209,21 @@ class DecodedU8Cache:
             self._flush_locked()
 
     def close(self) -> None:
+        """Flush + close; idempotent (a with-block after an explicit close
+        must not re-flush a closed writer or double-close fds)."""
         with self._lock:
+            if self._closed:
+                return
+            self._closed = True
             self._flush_locked()
             self._append_f.close()
             os.close(self._read_fd)
+            for fd in self._retired_fds:
+                try:
+                    os.close(fd)
+                except OSError:  # pragma: no cover
+                    pass
+            self._retired_fds.clear()
 
     def __enter__(self):
         return self
@@ -195,10 +245,14 @@ class DecodedU8Cache:
         operating on the original data file (rows past the truncation
         simply miss via the short-read guard in ``get``).  Commit-phase
         failures (ENOSPC on the replace, fd reopen) also leave the object
-        usable on its original fds/layout, and a crash between the
-        data-file replace and the manifest flush is caught at next open by
-        the ``data_bytes`` generation check — stale manifests are dropped
-        rather than serving wrong rows."""
+        usable on its original fds/layout, and a crash anywhere between the
+        generation bump and the manifest flush is caught at next open by
+        the sidecar generation check — stale manifests are dropped rather
+        than serving wrong rows by stale numbering (the sidecar is bumped
+        BEFORE the data file is replaced, so every crash window leaves
+        manifest.generation ≠ sidecar).  Concurrent ``get()`` calls stay
+        correct throughout: the old read fd is RETIRED, not closed (see
+        get), and rows/fd swap atomically under the lock."""
         with self._lock:
             # recent put()s may still sit in the BufferedWriter (manifest
             # flush is every _MANIFEST_FLUSH_EVERY appends); pread on the
@@ -228,9 +282,23 @@ class DecodedU8Cache:
             # commit, ordered so a failure at ANY step leaves the object
             # usable on the OLD layout (fds keep the old inode alive even
             # after the on-disk replace; entries are renumbered last):
-            # replace → open new fds → swap → renumber → close old.
-            # A crash between the replace and the manifest flush is caught
-            # at next open by the data_bytes generation check (__init__).
+            # bump sidecar generation → replace data → open new fds →
+            # swap → renumber → retire old read fd.  The sidecar bump
+            # comes FIRST: from that point until the manifest flush at the
+            # end, the on-disk manifest's generation disagrees with the
+            # sidecar, so a crash in ANY window rebuilds instead of
+            # serving rows by stale numbering (unflushed appends can make
+            # the compacted file as large as the old one, so a size check
+            # alone cannot catch this — found in review).
+            new_gen = self._generation + 1
+            try:
+                self._write_generation(new_gen)
+            except OSError:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+                raise
             try:
                 os.replace(tmp, self.data_path)
             except OSError:
@@ -252,6 +320,10 @@ class DecodedU8Cache:
             for i, (_key, entry) in enumerate(live):
                 entry["row"] = i
             self._n_rows = len(live)
+            self._generation = new_gen
             old_append.close()
-            os.close(old_read)
+            # retire (don't close) the old read fd: a concurrent get()
+            # may have captured it just before this swap — the old inode
+            # stays readable through it until close()
+            self._retired_fds.append(old_read)
             self._flush_locked()

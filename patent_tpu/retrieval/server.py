@@ -136,6 +136,14 @@ class MicroBatcher:
         if feats.ndim != 2 or feats.shape[0] < 1 or feats.shape[1] != self.dim:
             raise ValueError(
                 f"features must be [q, {self.dim}], got {feats.shape}")
+        if feats.shape[0] > self.max_rows:
+            # max_rows must bound SINGLE requests too: one oversized
+            # payload would otherwise drive an unbounded pow-2-padded
+            # concatenate + a fresh XLA compile + a device dispatch whose
+            # failure lands on every innocent coalesced request
+            raise ValueError(
+                f"request rows {feats.shape[0]} exceed max_rows "
+                f"{self.max_rows}; split the query batch")
         if int(k) < 1:
             raise ValueError(f"k must be >= 1, got {k}")
         req = _Req(feats, int(k))
@@ -276,6 +284,7 @@ class RetrievalService:
         self.batcher = MicroBatcher(engine.index,
                                     device_lock=self._device_lock,
                                     max_wait_s=batch_wait_s)
+        self._base_map: dict[str, int] | None = None   # lazy, _resolve_name
 
     def _resolve_image_path(self, path: str) -> str | None:
         """realpath-prefix containment check; None = denied or missing.
@@ -322,7 +331,9 @@ class RetrievalService:
             return names.index(name)
         except ValueError:
             pass
-        if getattr(self, "_base_map", None) is None:
+        if self._base_map is None:
+            # benign if two threads race here: the maps are identical and
+            # last-assignment wins; the field is declared in __init__
             base_map: dict[str, int] = {}
             for i, n in enumerate(names):
                 b = os.path.basename(n)
@@ -331,7 +342,18 @@ class RetrievalService:
         return self._base_map.get(name)
 
     def search(self, payload: dict) -> dict:
-        k = int(payload.get("k", 10))
+        # validate the envelope BEFORE any branch: valid-JSON-but-wrong-
+        # shape payloads (arrays, string/None k, negative k) must get a
+        # 400, not an uncaught exception that drops the connection
+        if not isinstance(payload, dict):
+            return {"error": "body must be a JSON object", "_status": 400}
+        try:
+            k = int(payload.get("k", 10))
+        except (TypeError, ValueError):
+            return {"error": f"k must be an integer, got "
+                             f"{payload.get('k')!r}", "_status": 400}
+        if k < 1:
+            return {"error": f"k must be >= 1, got {k}", "_status": 400}
         # feature/name queries ride the micro-batcher: concurrent requests
         # coalesce into ONE device top-k dispatch (the batcher holds the
         # shared device lock only around that dispatch)
@@ -341,7 +363,7 @@ class RetrievalService:
                 if feats.ndim == 1:
                     feats = feats[None]
                 results = self._named(*self.batcher.search(feats, k))
-            except ValueError as e:
+            except (ValueError, TypeError) as e:
                 # ragged rows / wrong dim / bad k: fail THIS request with
                 # 400 (the batcher validates pre-enqueue, so a bad request
                 # can never poison a coalesced batch)
@@ -375,6 +397,10 @@ class RetrievalService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: RetrievalService = None  # set by serve()
+    # socket timeout: a client that stalls mid-body (or never sends one)
+    # must not pin a ThreadingHTTPServer thread forever
+    timeout = 120
+    _MAX_BODY = 64 * 1024 * 1024      # 64 MB JSON cap
 
     def _send(self, obj: dict, status: int = 200):
         body = json.dumps(obj).encode()
@@ -398,11 +424,23 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             length = int(self.headers.get("Content-Length", 0))
+            if length < 0 or length > self._MAX_BODY:
+                # negative Content-Length would make read(-1) block until
+                # client EOF (slow-loris); huge bodies are rejected before
+                # they are buffered
+                self._send({"error": f"bad Content-Length: {length}"}, 400)
+                return
             payload = json.loads(self.rfile.read(length) or b"{}")
         except (ValueError, json.JSONDecodeError) as e:
             self._send({"error": f"bad JSON body: {e}"}, 400)
             return
-        out = self.service.search(payload)
+        try:
+            out = self.service.search(payload)
+        except Exception as e:   # defense in depth: the client must get a
+            # response, never a dropped connection (service.search 400s
+            # the known-malformed shapes; this catches the rest)
+            self._send({"error": f"{type(e).__name__}: {e}"}, 500)
+            return
         status = out.pop("_status", 200)
         self._send(out, status)
 

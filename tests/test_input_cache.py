@@ -316,18 +316,19 @@ def test_vacuum_commit_phase_failure_keeps_cache_usable(corpus, tmp_path,
 
 
 def test_manifest_generation_check_drops_stale_entries(corpus, tmp_path):
-    """A manifest from a different data-file generation (recorded
-    data_bytes > actual file size — e.g. a crash between vacuum()'s
-    data-file replace and its manifest flush) is DROPPED at open instead
-    of serving wrong rows by stale numbering."""
+    """A manifest whose generation disagrees with the sidecar — any crash
+    window inside vacuum(), since the sidecar is bumped FIRST — is DROPPED
+    at open instead of serving wrong rows by stale numbering.  (A size
+    check alone cannot catch this: unflushed appends can leave the
+    compacted file as large as the old one — found in review.)"""
     cache = DecodedU8Cache(str(tmp_path), image_size=64)
     for p in corpus[:4]:
         cache.put(p, decode_image_u8(p, 64))
     cache.close()
-    # simulate the crash window: data file shrinks (compacted by a vacuum
-    # whose manifest flush never happened) behind the old manifest
-    with open(cache.data_path, "r+b") as f:
-        f.truncate(cache.row_bytes * 2)
+    # simulate a crash right after vacuum()'s first step (sidecar bump):
+    # manifest still generation 0, sidecar says 1, data file unchanged
+    with open(cache.gen_path, "w") as f:
+        f.write("1")
     reopened = DecodedU8Cache(str(tmp_path), image_size=64)
     assert len(reopened) == 0, "stale-generation manifest must be dropped"
     # the cache rebuilds normally from here
@@ -335,3 +336,113 @@ def test_manifest_generation_check_drops_stale_entries(corpus, tmp_path):
     np.testing.assert_array_equal(reopened.get(corpus[0]),
                                   decode_image_u8(corpus[0], 64))
     reopened.close()
+
+
+def test_partial_trailing_row_truncated_at_open(corpus, tmp_path):
+    """A crash mid-append leaves a partial trailing row; without
+    truncation at open, the next put() records a row offset that
+    disagrees with its byte position and get() silently returns
+    MISALIGNED bytes as a hit (found in review, verified by simulation)."""
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    cache.put(corpus[0], decode_image_u8(corpus[0], 64))
+    cache.close()
+    with open(cache.data_path, "ab") as f:    # half-written append
+        f.write(b"\x7f" * (cache.row_bytes // 2))
+    reopened = DecodedU8Cache(str(tmp_path), image_size=64)
+    assert os.path.getsize(reopened.data_path) % reopened.row_bytes == 0
+    # the next put must land row-aligned and read back exactly
+    reopened.put(corpus[1], decode_image_u8(corpus[1], 64))
+    np.testing.assert_array_equal(reopened.get(corpus[1]),
+                                  decode_image_u8(corpus[1], 64))
+    np.testing.assert_array_equal(reopened.get(corpus[0]),
+                                  decode_image_u8(corpus[0], 64))
+    reopened.close()
+
+
+def test_vacuum_with_unflushed_appends_crash_window(corpus, tmp_path,
+                                                    monkeypatch):
+    """The exact review scenario: appends after the last manifest flush
+    make the compacted file as large as the recorded size; a crash before
+    vacuum's manifest flush must still be detected (sidecar generation),
+    not slip past a size comparison and serve wrong images."""
+    import patent_tpu.input.cache as cache_mod
+
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    cache.put(corpus[0], decode_image_u8(corpus[0], 64))
+    cache.put(corpus[1], decode_image_u8(corpus[1], 64))
+    cache.flush()                              # manifest at 2 rows
+    # stale re-append (dead row) + two fresh rows, all unflushed
+    os.utime(corpus[0], (time.time() + 3, time.time() + 3))
+    cache.put(corpus[0], decode_image_u8(corpus[0], 64))
+    cache.put(corpus[2], decode_image_u8(corpus[2], 64))
+    cache.put(corpus[3], decode_image_u8(corpus[3], 64))
+
+    # crash vacuum right before its final manifest flush
+    orig_flush = DecodedU8Cache._flush_locked
+    calls = {"n": 0}
+
+    def crashing_flush(self):
+        raise KeyboardInterrupt("simulated crash before manifest flush")
+
+    monkeypatch.setattr(DecodedU8Cache, "_flush_locked", crashing_flush)
+    with pytest.raises(KeyboardInterrupt):
+        cache.vacuum()
+    monkeypatch.setattr(DecodedU8Cache, "_flush_locked", orig_flush)
+    # process "dies" here: no close/flush.  Reopen sees the compacted
+    # 4-row data file behind the 2-row manifest — sizes agree (4 rows vs
+    # 2 recorded+2 unflushed), only the generation disagrees
+    reopened = DecodedU8Cache(str(tmp_path), image_size=64)
+    assert len(reopened) == 0, \
+        "crash-mid-vacuum manifest must be dropped (stale numbering)"
+    reopened.close()
+
+
+def test_close_idempotent(corpus, tmp_path):
+    """close() inside a with-block must not make __exit__ raise (re-flush
+    of a closed writer / double fd close — found in review)."""
+    with DecodedU8Cache(str(tmp_path), image_size=64) as cache:
+        cache.put(corpus[0], decode_image_u8(corpus[0], 64))
+        cache.close()
+    # reaching here without an exception IS the assertion; reopen works
+    c2 = DecodedU8Cache(str(tmp_path), image_size=64)
+    assert len(c2) == 1
+    c2.close()
+
+
+def test_get_concurrent_with_vacuum(corpus, tmp_path):
+    """Readers racing a vacuum must always receive either a correct row
+    or a miss — never another image's bytes or EBADF (the old read fd is
+    retired, and (fd, row) is captured atomically)."""
+    import threading
+
+    cache = DecodedU8Cache(str(tmp_path), image_size=64)
+    rows = {p: decode_image_u8(p, 64) for p in corpus[:8]}
+    for p, arr in rows.items():
+        cache.put(p, arr)
+    cache.flush()
+    stop = threading.Event()
+    errors: list = []
+
+    def reader():
+        paths = list(rows)
+        i = 0
+        while not stop.is_set():
+            p = paths[i % len(paths)]
+            got = cache.get(p)
+            if got is not None and not np.array_equal(got, rows[p]):
+                errors.append(f"wrong bytes for {p}")
+                return
+            i += 1
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(10):
+            cache.vacuum()
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors, errors
+    cache.close()

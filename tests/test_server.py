@@ -452,3 +452,25 @@ def test_search_by_name_accepts_response_basenames(live_server):
     status2, body2 = _post(base + "/search", {"name": returned, "k": 2})
     assert status2 == 200, body2
     assert body2["results"][0][0]["name"] == returned
+
+
+def test_malformed_payloads_get_http_responses(live_server):
+    """Valid-JSON-but-wrong-shape payloads must get 400s (or a 500 from
+    the defense-in-depth guard), never a dropped connection (found in
+    review: AttributeError/TypeError/int() errors propagated uncaught)."""
+    base, engine, _ = live_server
+    for payload, expect in [
+        ([1, 2, 3], 400),                       # array, not object
+        ({"k": "abc", "name": "x"}, 400),       # non-int k
+        ({"k": None, "name": "x"}, 400),
+        ({"k": -1, "features": [[0.0] * 8]}, 400),
+        ({"features": None}, 400),
+        ({"features": {"a": 1}}, 400),
+        ({"features": [[0.0] * 8] * 5000}, 400),  # > max_rows single req
+    ]:
+        status, body = _post(base + "/search", payload)
+        assert status == expect, (payload, status, body)
+        assert "error" in body
+    # server is still healthy after the barrage
+    status, _ = _get(base + "/healthz")
+    assert status == 200
