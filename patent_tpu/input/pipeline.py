@@ -45,10 +45,10 @@ def list_images(folder: str) -> list[str]:
     (retrieval.ipynb cell 3 ``valid_extensions`` + ``rglob``)."""
     out = []
     for root, _dirs, files in os.walk(folder):
-        for f in sorted(files):
+        for f in files:
             if os.path.splitext(f)[1] in VALID_EXTENSIONS:
                 out.append(os.path.join(root, f))
-    return sorted(out)
+    return sorted(out)          # one global sort defines the order
 
 
 def decode_image(path: str, image_size: int = IMAGE_SIZE) -> np.ndarray | None:
@@ -285,8 +285,6 @@ def _native_decode_chunk(chunk: list[str], image_size: int,
     return batch, survivors
 
 
-# keep a reference to the method on the class (defined after the helper so it
-# can call it)
 def _iter_native(self, paths, n):
     """Batch iterator backed by the native decoder (native/patent_io.cc):
     the C++ thread pool decodes chunks while the previous chunk is consumed."""
@@ -327,6 +325,9 @@ def _emit(self, batch, chunk, survivors):
     return out, names, len(survivors)
 
 
+# bound onto ImageBatcher below; module-level defs keep the native-path
+# helpers greppable next to _native_decode_chunk (ordinary in-class
+# methods would work too — globals resolve at call time)
 ImageBatcher._iter_native = _iter_native
 ImageBatcher._emit = _emit
 

@@ -162,6 +162,19 @@ class RetrievalEngine:
             self._cache = DecodedU8Cache(cache_dir, image_size)
         self.index: EmbeddingIndex | None = None
 
+    def close(self) -> None:
+        """Flush + close the engine-owned decoded-u8 cache (idempotent).
+        The engine constructs the cache, so it owns the lifecycle the
+        pipeline docstring assigns to the caller."""
+        if self._cache is not None:
+            self._cache.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
     # ------------------------------------------------------------- encoding
     def encode_paths(self, image_paths: Sequence[str]
                      ) -> tuple[np.ndarray, list[str]]:
@@ -177,10 +190,26 @@ class RetrievalEngine:
         def flush():
             if not pending:
                 return
-            if self.scan_batches > 1 and len(pending) > 1:
-                k = len(pending)
+            if (self.scan_batches > 1
+                    and len(pending) == self.scan_batches):
+                # only FULL stacks ride the scan program: an odd-sized
+                # tail (gallery batches % scan_batches != 0) would have a
+                # new leading dim and pay a full ViT recompile just for
+                # the tail — pad the stack with a copy of the last batch
+                # instead and drop the padded outputs
                 stacked = jnp.asarray(np.stack([b for b, _, _ in pending]))
                 outs = np.asarray(self._scan_encode(stacked))
+                for i, (_b, paths, n_valid) in enumerate(pending):
+                    embs.append(outs[i, :n_valid])
+                    names.extend(paths)
+            elif self.scan_batches > 1 and len(pending) > 1:
+                # tail flush: pad to the compiled scan shape (the padded
+                # slots re-encode the last real batch; their outputs are
+                # discarded below) — same program, zero recompiles
+                stack = [b for b, _, _ in pending]
+                stack += [stack[-1]] * (self.scan_batches - len(stack))
+                outs = np.asarray(self._scan_encode(
+                    jnp.asarray(np.stack(stack))))
                 for i, (_b, paths, n_valid) in enumerate(pending):
                     embs.append(outs[i, :n_valid])
                     names.extend(paths)
@@ -233,6 +262,12 @@ class RetrievalEngine:
             raise ValueError("No database embeddings found. "
                              "Please encode dataset first.")
         emb, _names = self.encode_paths([query_path])
+        if emb.shape[0] == 0:
+            # the pipeline skips failed decodes by design; a single-query
+            # caller needs a clean error, not an empty [0, 0] array fed
+            # into the index (shape-mismatch crash — server.py turns this
+            # ValueError into a 400)
+            raise ValueError(f"query image failed to decode: {query_path}")
         return self.index.search_names(emb, k=k)[0]
 
     def rank_queries(self, query_folder_or_paths: str | Sequence[str],
@@ -251,8 +286,19 @@ class RetrievalEngine:
         kk = k if k is not None else len(self.index)
         _vals, idx = self.index.search(qemb, k=kk)
         gallery_basenames = [os.path.basename(n) for n in self.index.names]
-        return {os.path.basename(q): [gallery_basenames[j] for j in row]
-                for q, row in zip(qnames, idx)}
+        out = {}
+        for q, row in zip(qnames, idx):
+            key = os.path.basename(q)
+            if key in out:
+                # list_images walks recursively: identically-named queries
+                # in different subdirectories would silently collapse to
+                # one entry and evaluate() would score a smaller query set
+                raise ValueError(
+                    f"duplicate query basename {key!r}: rankings are keyed "
+                    "by basename (the reference ground-truth convention) — "
+                    "deduplicate the query set or flatten the directory")
+            out[key] = [gallery_basenames[j] for j in row]
+        return out
 
     # ----------------------------------------------------------- evaluation
     def evaluate(self, query_folder_or_paths: str | Sequence[str],

@@ -386,8 +386,14 @@ class RetrievalService:
                                  "existing file under the configured "
                                  "data root)", "_status": 400}
             # decode+encode+search under the shared lock (rare admin path)
-            with self._device_lock:
-                results = [self.engine.retrieve_similar_images(real, k=k)]
+            try:
+                with self._device_lock:
+                    results = [self.engine.retrieve_similar_images(real,
+                                                                   k=k)]
+            except ValueError as e:
+                # an existing-but-undecodable file (corrupt PNG): the
+                # engine raises cleanly; the client gets a 400, not a 500
+                return {"error": str(e), "_status": 400}
         else:
             return {"error": "body needs 'features', 'image_path' or "
                              "'name'", "_status": 400}

@@ -393,3 +393,98 @@ def test_fold_u8_normalize_matches_device_normalize():
     np.testing.assert_array_equal(
         np.asarray(f["position_embedding"][0]),
         np.asarray(params["params"]["position_embedding"][0]))
+
+
+def test_retrieve_undecodable_query_raises_cleanly(tmp_path):
+    """A corrupt query image must raise a clean ValueError (the pipeline
+    skips failed decodes by design, and an empty [0, 0] embedding used to
+    crash the index with a shape mismatch — found in review)."""
+    import numpy as np
+
+    from patent_tpu.retrieval.engine import RetrievalEngine
+
+    rng = np.random.default_rng(0)
+
+    def encode(batch):
+        x = np.asarray(batch, np.float32).reshape(batch.shape[0], -1)
+        return x[:, :16]
+
+    eng = RetrievalEngine(encode, batch_size=4, image_size=8, num_workers=1)
+    gallery = tmp_path / "gal"
+    gallery.mkdir()
+    from PIL import Image
+
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(gallery / f"g{i}.png")
+    eng.encode_dataset(str(gallery))
+    bad = tmp_path / "corrupt.png"
+    bad.write_bytes(b"not a png at all")
+    with pytest.raises(ValueError, match="failed to decode"):
+        eng.retrieve_similar_images(str(bad), k=2)
+
+
+def test_rank_queries_rejects_basename_collisions(tmp_path):
+    """Identically-named queries in different subdirectories must raise
+    (rankings are keyed by basename; silent collapse scored a smaller
+    query set with no warning — found in review)."""
+    import numpy as np
+    from PIL import Image
+
+    from patent_tpu.retrieval.engine import RetrievalEngine
+
+    rng = np.random.default_rng(0)
+
+    def encode(batch):
+        x = np.asarray(batch, np.float32).reshape(batch.shape[0], -1)
+        return x[:, :16]
+
+    eng = RetrievalEngine(encode, batch_size=4, image_size=8, num_workers=1)
+    gallery = tmp_path / "gal"
+    gallery.mkdir()
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(gallery / f"g{i}.png")
+    eng.encode_dataset(str(gallery))
+    queries = tmp_path / "q"
+    (queries / "a").mkdir(parents=True)
+    (queries / "b").mkdir(parents=True)
+    for sub in ("a", "b"):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(queries / sub / "fig1.png")
+    with pytest.raises(ValueError, match="duplicate query basename"):
+        eng.rank_queries(str(queries))
+
+
+def test_scan_tail_reuses_compiled_shapes(tmp_path):
+    """An odd-sized scan tail must ride the SAME stacked shape as the full
+    flushes (padded), never present a new leading dim (a full ViT
+    recompile per tail — found in review)."""
+    import numpy as np
+    from PIL import Image
+
+    from patent_tpu.retrieval.engine import RetrievalEngine
+
+    shapes = []
+
+    def encode(batch):
+        x = np.asarray(batch, np.float32).reshape(batch.shape[0], -1)
+        return x[:, :8]
+
+    def encode_many(stacked):
+        shapes.append(tuple(stacked.shape[:2]))
+        s = np.asarray(stacked, np.float32)
+        return s.reshape(s.shape[0], s.shape[1], -1)[:, :, :8]
+
+    eng = RetrievalEngine(encode, encode_many_fn=encode_many, batch_size=2,
+                          image_size=8, num_workers=1, scan_batches=3)
+    gallery = tmp_path / "gal"
+    gallery.mkdir()
+    rng = np.random.default_rng(0)
+    # 16 images / batch 2 = 8 batches = 2 full stacks of 3 + tail of 2
+    for i in range(16):
+        Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                        ).save(gallery / f"g{i:02d}.png")
+    idx = eng.encode_dataset(str(gallery))
+    assert len(idx) == 16
+    assert shapes and all(s[0] == 3 for s in shapes), shapes
