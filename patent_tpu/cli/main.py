@@ -280,11 +280,19 @@ def main(argv: list[str] | None = None) -> int:
             # only form that exists at the 2019 graph scale.
             from ..train.train_vgae import train_vgae_link_prediction
 
+            # read epochs/lr from cfg when the USER set them (via flag or
+            # key=value override — reading args alone silently discarded
+            # `epochs=200`-style overrides); otherwise keep the VGAE
+            # defaults, which differ from the pair-classifier's
+            user_set = {ov.split("=", 1)[0] for ov in args.overrides}
             variables, _split, report = train_vgae_link_prediction(
                 x, graph.adjacency, hidden_dim=cfg.hidden_dim,
                 latent_dim=cfg.latent_dim,
-                epochs=args.epochs or 50,
-                learning_rate=args.learning_rate or 1e-2, logger=logger)
+                epochs=cfg.epochs
+                if (args.epochs or "epochs" in user_set) else 50,
+                learning_rate=cfg.learning_rate
+                if (args.learning_rate or "learning_rate" in user_set)
+                else 1e-2, logger=logger)
             print(json.dumps({k: float(v) for k, v in report.items()},
                              indent=2))
             return 0
@@ -421,24 +429,58 @@ def main(argv: list[str] | None = None) -> int:
                     ge = pickle.load(f)
                 keys = {os.path.basename(a): i
                         for i, a in enumerate(sorted(ge))}
-                vgae = np.stack([ge[k] for k in sorted(ge)])
-                node_idx = np.asarray(
-                    [keys.get(os.path.basename(a), 0) for a in anchors],
-                    np.int32)
-                print(f"[patent_tpu] aligned to {len(ge)} exported graph "
-                      f"embeddings from {ge_dir}")
+                matched = sum(os.path.basename(a) in keys for a in anchors)
+                if matched == 0:
+                    # a stale pickle from a DIFFERENT corpus would map
+                    # every anchor to node 0 — the alignment loss then
+                    # pulls all images toward one graph node while the
+                    # log claims success.  Refuse the degenerate mapping.
+                    print(f"[patent_tpu] WARNING: graph-embedding pickle "
+                          f"{pkls[0]} matches 0/{len(anchors)} anchors "
+                          f"(different corpus?); training WITHOUT graph "
+                          f"alignment")
+                else:
+                    vgae = np.stack([ge[k] for k in sorted(ge)])
+                    node_idx = np.asarray(
+                        [keys.get(os.path.basename(a), 0) for a in anchors],
+                        np.int32)
+                    print(f"[patent_tpu] aligned to {len(ge)} exported "
+                          f"graph embeddings from {ge_dir} "
+                          f"({matched}/{len(anchors)} anchors matched)")
         if vgae is None:
             vgae = np.random.default_rng(0).standard_normal(
                 (max(len(anchors), 2), 128)).astype(np.float32)
 
-        # synthetic corpora are small images; shrink the tower accordingly
-        image_size = 64 if "synthetic" in images_dir else cfg.image_size
+        # small-image corpora (the bundled synthetic sets) get a small
+        # tower; decide by PROBING an actual image, not by a path
+        # substring (a real corpus under .../synthetic_baseline/ must not
+        # silently train the 64px toy config)
+        from ..retrieval.cli_actions import _gallery_image_size
+
+        probed = _gallery_image_size(images_dir)
+        image_size = probed if probed and probed < 224 else cfg.image_size
+        clip_params = None
         if image_size == 224:
             from ..models.vit import VIT_B16 as vc
+
+            if args.checkpoint and os.path.isdir(args.checkpoint):
+                # start from pretrained CLIP weights like the reference
+                # (cell 20 fine-tunes openai/clip-vit-base-patch16) — the
+                # serving path already honors --checkpoint
+                # (cli_actions._build_encoder); without this the
+                # "fine-tune" silently trained from random init
+                from ..models.clip_import import load_hf_clip_params
+
+                clip_params = load_hf_clip_params(args.checkpoint, vc)
+                print(f"[patent_tpu] fine-tuning from CLIP weights at "
+                      f"{args.checkpoint}")
         else:
             vc = VisionConfig(image_size=image_size, patch_size=8,
                               hidden_dim=64, num_layers=2, num_heads=4,
                               mlp_dim=128, projection_dim=64)
+        if cfg.keep_tokens is not None and cfg.keep_tokens <= 0:
+            raise ValueError(
+                f"keep_tokens must be positive, got {cfg.keep_tokens}")
         if cfg.keep_tokens is not None and cfg.keep_tokens >= vc.num_patches:
             print(f"--keep-tokens {cfg.keep_tokens} >= {vc.num_patches} "
                   f"patches: training the exact (unpruned) tower")
@@ -452,18 +494,24 @@ def main(argv: list[str] | None = None) -> int:
         with DecodedU8Cache(os.path.join(args.path, "decoded_cache"),
                             image_size=image_size) as dcache:
             _best, history = run_finetune(anchors, positives, node_idx, vgae,
-                                          vc, cfg, logger=logger, ckpt=ckpt,
+                                          vc, cfg, clip_params=clip_params,
+                                          logger=logger, ckpt=ckpt,
                                           image_size=image_size,
                                           cache=dcache)
         print(f"finetune done: val_loss trajectory {history['val_loss']}")
         return 0
 
     if action == "bench":
-        os.execvp(sys.executable,
-                  [sys.executable,
-                   os.path.join(os.path.dirname(os.path.dirname(
-                       os.path.dirname(os.path.abspath(__file__)))),
-                       "bench.py")])
+        bench_py = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), "bench.py")
+        if not os.path.isfile(bench_py):
+            # the pip-installed console script ships only patent_tpu/*;
+            # bench.py lives at the repo root
+            print("bench.py not found next to the package (it ships with "
+                  "the repository, not the wheel); run it from a checkout",
+                  file=sys.stderr)
+            return 1
+        os.execvp(sys.executable, [sys.executable, bench_py])
 
     print(f"unhandled action {action}", file=sys.stderr)
     return 1

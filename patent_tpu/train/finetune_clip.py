@@ -50,7 +50,6 @@ class AlignmentHead(nn.Module):
     num_nodes: int
     graph_dim: int = 128          # PCA-whitened VGAE dim (cell 19)
     proj_dim: int = 128
-    image_dim: int = 512
     init_tau: float = 0.10
 
     @nn.compact
@@ -109,7 +108,6 @@ def init_finetune_state(vision_config: VisionConfig, cfg: ClipFinetuneConfig,
     head = AlignmentHead(num_nodes=white.shape[0],
                          graph_dim=cfg.graph_proj_dim,
                          proj_dim=cfg.graph_proj_dim,
-                         image_dim=vision_config.projection_dim,
                          init_tau=cfg.init_tau)
     head_params = jax.jit(head.init)(key, jnp.zeros((2, vision_config.projection_dim)),
                             jnp.zeros((1,), jnp.int32))["params"]
@@ -268,10 +266,16 @@ def make_sharded_finetune_step(mesh, vit: VisionTransformer,
     data_sharding = NamedSharding(mesh, P("data"))
 
     def place_batch(images, node_idx):
-        if images.shape[0] % mesh.shape["data"]:
+        n_data = mesh.shape["data"]
+        # check BOTH arrays: images is 2B rows and node_idx is B — 2B
+        # divisible does not imply B divisible (e.g. 3 pairs on data=2
+        # passes the image check, then device_put fails opaquely on the
+        # [3] node_idx)
+        if images.shape[0] % n_data or node_idx.shape[0] % n_data:
             raise ValueError(
-                f"global image batch ({images.shape[0]}) must divide the "
-                f"data axis ({mesh.shape['data']})")
+                f"global image batch ({images.shape[0]}) and pair count "
+                f"({node_idx.shape[0]}) must both divide the data axis "
+                f"({n_data})")
         return (jax.device_put(jnp.asarray(images), data_sharding),
                 jax.device_put(jnp.asarray(node_idx), data_sharding))
 
@@ -298,7 +302,7 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
     * patent-aware train/val split is the CALLER's job (pass disjoint lists
       built with data.split_query_gallery — the reference asserts zero
       patent overlap, train.py:4236); here the last ``val_fraction`` of
-      pairs is held out,
+      pairs is held out as a seeded RANDOM subset (not the list tail),
     * α warm-up per epoch; validation every ``cfg.val_every`` batches and at
       epoch end; best-val checkpoint via ``ckpt`` (reference saves
       ``<name>_best`` via save_pretrained).
@@ -310,8 +314,6 @@ def run_finetune(anchor_paths, positive_paths, graph_node_idx,
             dict, cell 20 ``graph_id_map``).
     Returns (best_params, history).
     """
-    import numpy as np
-
     from ..input.pipeline import PairBatcher
     from ..utils.logging import MetricsLogger
 

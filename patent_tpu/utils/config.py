@@ -220,6 +220,24 @@ def apply_overrides(cfg, overrides: Sequence[str]):
             setattr(cfg, key, float(val))
         elif isinstance(current, tuple):
             setattr(cfg, key, tuple(json.loads(val)))
+        elif current is None:
+            # None-default fields (e.g. keep_tokens: int | None) carry no
+            # runtime type to coerce to — parse the literal: none/null →
+            # None, then int, then float, else the raw string (storing
+            # the raw string for keep_tokens=175 used to crash the CLI's
+            # later `>= num_patches` comparison with a TypeError)
+            v = val.strip()
+            if v.lower() in ("none", "null"):
+                setattr(cfg, key, None)
+            else:
+                for cast in (int, float):
+                    try:
+                        setattr(cfg, key, cast(v))
+                        break
+                    except ValueError:
+                        continue
+                else:
+                    setattr(cfg, key, v)
         else:
             setattr(cfg, key, val)
     return cfg

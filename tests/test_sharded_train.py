@@ -224,7 +224,6 @@ def test_sharded_finetune_step_matches_single_device(eight_devices):
     assert real == 21 and padded == 22
     head_p = AlignmentHead(num_nodes=padded, graph_dim=cfg.graph_proj_dim,
                            proj_dim=cfg.graph_proj_dim,
-                           image_dim=vc.projection_dim,
                            init_tau=cfg.init_tau)
     sstep, _ev, place_batch = make_sharded_finetune_step(
         mesh, vit, head_p, optimizer, cfg)

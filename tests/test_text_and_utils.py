@@ -196,3 +196,20 @@ def test_checkpoint_orbax_backend(tmp_path):
     np.testing.assert_array_equal(restored["params"]["w"],
                                   state["params"]["w"])
     assert int(restored["step"]) == 7
+
+
+def test_apply_overrides_none_default_fields():
+    """keep_tokens=175 as a key=value override must become an int, not a
+    string that crashes later int comparisons (found in review); none/null
+    literals clear the field."""
+    from patent_tpu.utils.config import ClipFinetuneConfig, apply_overrides
+
+    cfg = apply_overrides(ClipFinetuneConfig(), ["keep_tokens=175"])
+    assert cfg.keep_tokens == 175 and isinstance(cfg.keep_tokens, int)
+    assert cfg.keep_tokens >= 1          # the comparison that used to raise
+    cfg = apply_overrides(cfg, ["keep_tokens=none"])
+    assert cfg.keep_tokens is None
+    from patent_tpu.utils.config import HypTrainConfig
+
+    cfg2 = apply_overrides(HypTrainConfig(), ["label_num=4096"])
+    assert cfg2.label_num == 4096 and isinstance(cfg2.label_num, int)
