@@ -350,22 +350,13 @@ def main(argv: list[str] | None = None) -> int:
     if action == "serve":
         # production serving: encode (or load) the gallery, start the HTTP
         # retrieval server (retrieval/server.py)
-        from ..retrieval.cli_actions import (_build_encoder, _corpus,
-                                             _gallery_image_size)
-        from ..retrieval.engine import RetrievalEngine
+        # corpus/encoder/engine/prefix via the SAME helper the
+        # encode/retrieve/eval actions use (cli_actions.build_engine) —
+        # the serve copy used to drift from it
+        from ..retrieval.cli_actions import build_engine
         from ..retrieval.server import serve
 
-        gallery_dir, _q, _gt = _corpus(args, 64 if args.synthetic else 224)
-        image_size = _gallery_image_size(gallery_dir)
-        encode = _build_encoder(args, image_size)
-        engine = RetrievalEngine(encode, batch_size=32,
-                                 image_size=image_size, num_workers=4,
-                                 input_dtype="u8",
-                                 cache_dir=os.path.join(args.path,
-                                                        "decoded_cache"))
-        from ..retrieval.cli_actions import index_prefix
-        prefix = index_prefix(args.path, gallery_dir, args.quantize,
-                              getattr(args, "keep_tokens", None))
+        gallery_dir, _q, _gt, engine, prefix = build_engine(args)
         if os.path.exists(prefix + ".npy"):
             engine.load_embeddings(prefix)
         else:

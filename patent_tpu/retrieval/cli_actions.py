@@ -9,22 +9,38 @@ checkpoint is supplied via ``--checkpoint``).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 
 
+def _short_hash(*parts) -> str:
+    return hashlib.sha1("|".join(str(p) for p in parts).encode()
+                        ).hexdigest()[:8]
+
+
 def index_prefix(path: str, gallery_dir: str, quantize: bool,
-                 keep_tokens: int | None = None) -> str:
-    """Precision-tagged on-disk index prefix: an int8 serving run must never
-    silently load a bf16-encoded gallery, nor a token-pruned run a
-    full-tower one (the reference evaluates exactly the tower it serves,
-    retrieval.ipynb cell 3).  The single source of truth for every CLI
-    entry point that reads or writes an index."""
+                 keep_tokens: int | None = None,
+                 weights_tag: str = "") -> str:
+    """Identity-tagged on-disk index prefix: an int8 serving run must never
+    silently load a bf16-encoded gallery, a token-pruned run a full-tower
+    one, NOR a run with different encoder weights (or a different corpus
+    at the same basename) a stale index — a gallery encoded with weights
+    A scored against queries encoded with weights B produces garbage
+    rankings with no error (found in review; the reference evaluates
+    exactly the tower it serves, retrieval.ipynb cell 3).  The identity is
+    (corpus abspath hash, precision, pruning, ``weights_tag`` from
+    _build_encoder); the single source of truth for every CLI entry point
+    that reads or writes an index."""
     tag = "_int8" if quantize else ""
     if keep_tokens:
         tag += f"_kt{keep_tokens}"
+    if weights_tag:
+        tag += f"_{weights_tag}"
+    corpus = _short_hash(os.path.abspath(gallery_dir))
     return os.path.join(path, "embeddings",
-                        f"index_{os.path.basename(gallery_dir)}{tag}")
+                        f"index_{os.path.basename(gallery_dir)}"
+                        f"_{corpus}{tag}")
 
 
 def _build_encoder(args, image_size: int):
@@ -68,8 +84,20 @@ def _build_encoder(args, image_size: int):
     model = VisionTransformer(config, dtype=jnp.bfloat16, fused_layer=True,
                               keep_tokens=keep)
     finetuned = os.path.join(args.path, "models", "clip_finetune_best")
-    if args.checkpoint and os.path.isdir(args.checkpoint):
+    weights_tag = "rand"
+    if args.checkpoint:
+        if not os.path.isdir(args.checkpoint):
+            # a typo'd path or an HF hub id must fail LOUDLY — silently
+            # falling through to other weights persists results the user
+            # believes came from their checkpoint (found in review)
+            raise ValueError(
+                f"--checkpoint {args.checkpoint!r} is not a local "
+                "directory (HF-format CLIP checkpoints only; hub ids "
+                "cannot be fetched in this environment)")
         params = {"params": load_hf_clip_params(args.checkpoint, config)}
+        weights_tag = "hf" + _short_hash(
+            os.path.abspath(args.checkpoint),
+            os.path.getmtime(args.checkpoint))
         print(f"loaded CLIP weights from {args.checkpoint}")
     elif os.path.isdir(finetuned):
         # composed pipeline: the finetune action's best checkpoint feeds the
@@ -78,8 +106,26 @@ def _build_encoder(args, image_size: int):
 
         state = CheckpointManager(
             os.path.join(args.path, "models")).restore("clip_finetune_best")
-        params = {"params": state["params"]["vit"]}
-        print(f"loaded finetuned vision tower from {finetuned}")
+        ft_params = state["params"]["vit"]
+        # the checkpoint may come from a finetune at a DIFFERENT
+        # resolution/config (e.g. the 64px synthetic tower) — restoring it
+        # into this config crashes deep inside flax with a bare shape
+        # error; check the patch-embed width up front and fall back
+        ft_hidden = ft_params["patch_embed"]["kernel"].shape[-1]
+        if ft_hidden != config.hidden_dim:
+            print(f"[patent_tpu] WARNING: {finetuned} was trained with "
+                  f"hidden_dim {ft_hidden}, serving config wants "
+                  f"{config.hidden_dim} — ignoring the finetuned "
+                  f"checkpoint (random init; pass --checkpoint for "
+                  f"trained weights)")
+            params = jax.jit(model.init)(
+                jax.random.key(0),
+                jnp.zeros((1, image_size, image_size, 3)))
+        else:
+            params = {"params": ft_params}
+            weights_tag = "ft" + _short_hash(
+                os.path.getmtime(finetuned), state.get("step", 0))
+            print(f"loaded finetuned vision tower from {finetuned}")
     else:
         params = jax.jit(model.init)(
             jax.random.key(0),
@@ -107,7 +153,7 @@ def _build_encoder(args, image_size: int):
     # 6,376 img/s on v5e, so the default keeps the golden-pinned rounding)
     from .engine import make_device_normalizing_encoder
 
-    return make_device_normalizing_encoder(model.apply, params)
+    return make_device_normalizing_encoder(model.apply, params), weights_tag
 
 
 def _corpus(args, image_size: int):
@@ -117,18 +163,24 @@ def _corpus(args, image_size: int):
     2. a real corpus (metadata.json + images/) under --path → split it with
        the reference protocol (split_query.ipynb cells 2/5),
     3. a generated synthetic corpus."""
-    gallery = os.path.join(args.path, "test_gallery")
-    query = os.path.join(args.path, "test_query")
-    gt = os.path.join(args.path, "ground_truth.json")
-    if os.path.isdir(gallery) and os.path.isdir(query) and os.path.exists(gt):
-        return gallery, query, gt
-
     from ..data import (build_ground_truth, records_from_metadata,
                         save_ground_truth, split_query_gallery, synthetic)
 
+    force_synth = getattr(args, "synthetic", False)
+    gallery = os.path.join(args.path, "test_gallery")
+    query = os.path.join(args.path, "test_query")
+    gt = os.path.join(args.path, "ground_truth.json")
+    if not force_synth and os.path.isdir(gallery) and os.path.isdir(query) \
+            and os.path.exists(gt):
+        return gallery, query, gt
+
     meta_path = os.path.join(args.path, "metadata.json")
     images_dir = os.path.join(args.path, "images")
-    if os.path.exists(meta_path) and os.path.isdir(images_dir):
+    # --synthetic means the synthetic corpus, full stop — previously a
+    # real corpus under --path still won and the flag silently only
+    # biased the image size (found in review)
+    if not force_synth and os.path.exists(meta_path) \
+            and os.path.isdir(images_dir):
         with open(meta_path) as f:
             records = records_from_metadata(json.load(f))
         q_recs, g_recs = split_query_gallery(records, seed=42)
@@ -191,14 +243,19 @@ def _gallery_image_size(gallery_dir: str) -> int:
         return 224
 
 
-def run_retrieval_action(action: str, args) -> int:
+def build_engine(args):
+    """Corpus + encoder + engine + identity-tagged index prefix — ONE
+    implementation shared by encode/retrieve/eval (here) and serve
+    (cli/main.py); the two used to drift (found in review).
+
+    Returns (gallery_dir, query_dir, gt_path, engine, prefix)."""
     from .engine import RetrievalEngine
 
     # small corpora (synthetic or low-res) use the small encoder
     image_size = 64 if args.synthetic else 224
     gallery_dir, query_dir, gt_path = _corpus(args, image_size)
     image_size = _gallery_image_size(gallery_dir)
-    encode = _build_encoder(args, image_size)
+    encode, weights_tag = _build_encoder(args, image_size)
     # decoded-u8 cache: the eval batteries re-encode the same gallery under
     # bf16/int8/pruned towers — only the FIRST pass pays the PNG decode
     engine = RetrievalEngine(encode, batch_size=32, image_size=image_size,
@@ -207,7 +264,13 @@ def run_retrieval_action(action: str, args) -> int:
                                                     "decoded_cache"))
     prefix = index_prefix(args.path, gallery_dir,
                           getattr(args, "quantize", False),
-                          getattr(args, "keep_tokens", None))
+                          getattr(args, "keep_tokens", None),
+                          weights_tag=weights_tag)
+    return gallery_dir, query_dir, gt_path, engine, prefix
+
+
+def run_retrieval_action(action: str, args) -> int:
+    gallery_dir, query_dir, gt_path, engine, prefix = build_engine(args)
 
     if action == "encode":
         index = engine.encode_dataset(gallery_dir, save_prefix=prefix)
@@ -225,7 +288,11 @@ def run_retrieval_action(action: str, args) -> int:
         if qpath is None:
             from ..input.pipeline import list_images
 
-            qpath = list_images(query_dir)[0]
+            qcands = list_images(query_dir)
+            if not qcands:
+                print(f"no --query given and no images under {query_dir}")
+                return 1
+            qpath = qcands[0]
             print(f"no --query given; using {qpath}")
         for name, score in engine.retrieve_similar_images(qpath, k=args.k):
             print(f"{score:.4f}  {os.path.basename(name)}")

@@ -48,7 +48,6 @@ class HypBatch:
     figure_idx: np.ndarray       # [B] int32 into X_figures
     pos_patent: np.ndarray       # [B] int32 label idx
     neg_patents: np.ndarray      # [B, num_neg] int32 label idx
-    pair_a: np.ndarray           # [B] row index into the batch (0..B-1)
     pair_b_figure: np.ndarray    # [B] int32 into X_figures (partner figure)
     pair_label: np.ndarray       # [B] float 1=positive pair, 0=negative
     valid: np.ndarray            # [B] float mask (1 = real sample, 0 = pad)
@@ -140,7 +139,6 @@ def make_batches_packed(packed: PackedSupervision, slots: np.ndarray,
         valid = np.asarray([1.0] * b + [0.0] * pad, np.float32)
         yield HypBatch(figure_idx=figure_idx, pos_patent=pos_patent,
                        neg_patents=neg_patents,
-                       pair_a=np.arange(batch_size, dtype=np.int32),
                        pair_b_figure=partner, pair_label=pair_label,
                        valid=valid)
 
@@ -200,7 +198,6 @@ def make_batches(td: TrainingData, indices: np.ndarray, batch_size: int,
         valid = np.asarray([1.0] * b + [0.0] * pad, np.float32)
         yield HypBatch(figure_idx=figure_idx, pos_patent=pos_patent,
                        neg_patents=neg_patents,
-                       pair_a=np.arange(batch_size, dtype=np.int32),
                        pair_b_figure=pair_b, pair_label=pair_label,
                        valid=valid)
 
@@ -488,6 +485,12 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
                 bytes(np.asarray(saved["rng_state"], np.uint8)).decode())
         if "key_data" in saved:
             key = jax.random.wrap_key_data(jnp.asarray(saved["key_data"]))
+        # restore the loss history too: a resumed run's returned
+        # trajectory must cover ALL epochs, not just the post-resume tail
+        for hk in ("train_loss", "val_loss", "val_map"):
+            if f"hist_{hk}" in saved:
+                history[hk] = [float(v)
+                               for v in np.asarray(saved[f"hist_{hk}"])]
         logger.log(step, {"resumed_from_epoch": start_epoch - 1},
                    force_print=True)
     for epoch in range(start_epoch, cfg.epochs + 1):
@@ -532,14 +535,25 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
         history["val_loss"].append(val_loss)
         log_extra = {}
         if cfg.validate_with == "map":
-            from .evaluate import evaluate_retrieval_map
-            val_map = evaluate_retrieval_map(
-                model, params, np.asarray(td.x_figures), val_idx.tolist(),
-                fig_pos, num_patents)
-            history.setdefault("val_map", []).append(val_map)
-            # negate: the selection below minimizes
-            val_loss = -val_map
-            log_extra["val_map"] = val_map
+            if len(val_idx) == 0:
+                # an empty validation split makes mAP identically 0.0, so
+                # best-model selection freezes at epoch 1 and patience
+                # drains to an early stop with epoch-1 weights — fall
+                # back to the loss criterion instead (warn once)
+                if epoch == start_epoch:
+                    logger.log(step, {"warning": "validate_with=map with "
+                                      "an empty validation split; falling "
+                                      "back to loss-based selection"},
+                               force_print=True)
+            else:
+                from .evaluate import evaluate_retrieval_map
+                val_map = evaluate_retrieval_map(
+                    model, params, np.asarray(td.x_figures),
+                    val_idx.tolist(), fig_pos, num_patents)
+                history.setdefault("val_map", []).append(val_map)
+                # negate: the selection below minimizes
+                val_loss = -val_map
+                log_extra["val_map"] = val_map
         logger.log(step, {"epoch": epoch, "train_loss": train_loss,
                           "val_loss": val_loss, **log_extra},
                    force_print=True)
@@ -563,10 +577,17 @@ def train_hyperbolic_retrieval(td: TrainingData, cfg: HypTrainConfig,
             # saved AFTER the best/patience update so a resume sees this
             # epoch's final state; rng_state + key_data make the resumed RNG
             # streams continue bit-exactly
+            hist_payload = {
+                # f64: the restored prefix must equal the uninterrupted
+                # run's history bit-for-bit (host floats are doubles)
+                f"hist_{hk}": np.asarray(history[hk], np.float64)
+                for hk in ("train_loss", "val_loss", "val_map")
+                if history.get(hk)}
             ckpt.save("latest", {"params": params, "opt_state": opt_state,
                                  "step": step, "epoch": epoch,
                                  "best_val": best_val,
                                  "patience_left": patience_left,
+                                 **hist_payload,
                                  # JSON-bytes: PCG64 state holds 128-bit ints
                                  # that cannot be numpy array leaves
                                  "rng_state": _rng_state_bytes(rng),

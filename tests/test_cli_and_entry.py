@@ -169,3 +169,40 @@ def test_train_hyp_cli_resume(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "resumed_from_epoch" in out
+
+
+def test_index_prefix_identity_tags(tmp_path):
+    """The index prefix isolates precision, pruning, encoder WEIGHTS, and
+    corpus identity — a stale index from different weights or a different
+    corpus at the same basename must never be silently loaded (r5 review:
+    mixed-weights query/gallery spaces produce garbage rankings)."""
+    from patent_tpu.retrieval.cli_actions import index_prefix
+
+    base = index_prefix(str(tmp_path), "/corpora/a/test_gallery", False,
+                        weights_tag="rand")
+    assert index_prefix(str(tmp_path), "/corpora/a/test_gallery", True,
+                        weights_tag="rand") != base          # precision
+    assert index_prefix(str(tmp_path), "/corpora/a/test_gallery", False,
+                        keep_tokens=127, weights_tag="rand") != base
+    assert index_prefix(str(tmp_path), "/corpora/a/test_gallery", False,
+                        weights_tag="ftdeadbeef") != base    # weights
+    assert index_prefix(str(tmp_path), "/corpora/b/test_gallery", False,
+                        weights_tag="rand") != base          # corpus
+    # deterministic for the same identity
+    assert index_prefix(str(tmp_path), "/corpora/a/test_gallery", False,
+                        weights_tag="rand") == base
+
+
+def test_build_encoder_rejects_bad_checkpoint(tmp_path):
+    """A typo'd --checkpoint (or an HF hub id) must fail loudly, not fall
+    through to other weights while the user believes their checkpoint was
+    used (r5 review)."""
+    import argparse
+
+    from patent_tpu.retrieval.cli_actions import _build_encoder
+
+    args = argparse.Namespace(keep_tokens=None, quantize=False,
+                              path=str(tmp_path),
+                              checkpoint="openai/clip-vit-base-patch16")
+    with pytest.raises(ValueError, match="not a local directory"):
+        _build_encoder(args, 32)

@@ -206,14 +206,16 @@ def test_train_hyp_true_resume(prepared, tmp_path):
     # resume with a larger epoch budget: continues from epoch 3
     params_b, hist_b = train_hyperbolic_retrieval(
         td, cfg4, logger=quiet_logger(), ckpt=ckpt, resume=True)
-    assert len(hist_b["train_loss"]) == 2  # epochs 3 and 4 only
+    # the resumed run's history covers the FULL trajectory (epochs 1-4:
+    # pre-resume epochs restored from the checkpoint, r5 review fix), and
+    # equals the uninterrupted run's history EXACTLY
+    assert len(hist_b["train_loss"]) == 4
     # first two epochs agree between the runs (same seed)
     np.testing.assert_array_equal(ref_hist["train_loss"][:2],
                                   hist_a["train_loss"])
-    # resumed epochs 3-4 equal the uninterrupted run's epochs 3-4 EXACTLY
-    np.testing.assert_array_equal(ref_hist["train_loss"][2:],
+    np.testing.assert_array_equal(ref_hist["train_loss"],
                                   hist_b["train_loss"])
-    np.testing.assert_array_equal(ref_hist["val_loss"][2:],
+    np.testing.assert_array_equal(ref_hist["val_loss"],
                                   hist_b["val_loss"])
     # and the final best params are identical leaf-for-leaf
     for (ka, a), (kb, b) in zip(
