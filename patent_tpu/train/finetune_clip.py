@@ -274,7 +274,7 @@ def make_sharded_finetune_step(mesh, vit: VisionTransformer,
         if images.shape[0] % n_data or node_idx.shape[0] % n_data:
             raise ValueError(
                 f"global image batch ({images.shape[0]}) and pair count "
-                f"({node_idx.shape[0]}) must both divide the data axis "
+                f"({node_idx.shape[0]}) must divide the data axis "
                 f"({n_data})")
         return (jax.device_put(jnp.asarray(images), data_sharding),
                 jax.device_put(jnp.asarray(node_idx), data_sharding))

@@ -212,6 +212,14 @@ def apply_overrides(cfg, overrides: Sequence[str]):
                 f"unknown config field {key!r} for {type(cfg).__name__}; "
                 f"valid: {[f.name for f in dataclasses.fields(cfg)]}")
         current = getattr(cfg, key)
+        # none/null clears Optional fields regardless of their CURRENT
+        # value (keep_tokens=175 then keep_tokens=none must round-trip;
+        # the int branch below would crash on int("none"))
+        ann = next((str(f.type) for f in dataclasses.fields(cfg)
+                    if f.name == key), "")
+        if val.strip().lower() in ("none", "null") and "None" in ann:
+            setattr(cfg, key, None)
+            continue
         if isinstance(current, bool):
             setattr(cfg, key, val.lower() in ("1", "true", "yes"))
         elif isinstance(current, int):
