@@ -3,8 +3,10 @@ figure-pairs with the reference's exact index conventions.
 
 Framework-module re-implementation of ``prepare_training_data`` (graph
 generation (1).ipynb cell 69, with the hierarchical-exclusivity negative
-sampling of cell 73), vectorized over the sparse adjacency instead of a
-Python loop over every nonzero:
+sampling of cell 73).  Edge extraction is vectorized over the sparse
+adjacency; the two rejection-sampling loops are host loops (one draw per
+attempt — kept scalar so their RNG stream, and thus saved datasets, stay
+stable across versions):
 
 Index conventions (the behavioral contract the eval numbers depend on):
 * ``Y_pos[i] = (figure_absolute_idx, patent_RELATIVE_idx)`` — patent indices
@@ -112,10 +114,31 @@ def prepare_training_data(graph: HeteroGraph, features: np.ndarray,
     implication = np.concatenate([pm, mb, bmn], axis=0) - p0
     implication = implication.astype(np.int32)
 
-    # hierarchy maps for exclusivity-aware negatives (relative indices)
-    patent_to_medium = dict(zip(pm[:, 0] - p0, pm[:, 1] - p0))
+    # hierarchy maps for exclusivity-aware negatives (relative indices).
+    # patent → mediums is a MULTIMAP: a patent whose figures carry
+    # different CPCs has several patent→medium edges, and dict(zip(...))
+    # kept only the last one — a candidate negative sharing a Big/Main
+    # CPC through any DROPPED chain then slipped past the exclusivity
+    # filter (found in review).  medium→big and big→main stay functional
+    # (big/main are string prefixes of medium).
+    patent_to_mediums: dict[int, list[int]] = defaultdict(list)
+    for child, parent in pm - p0:
+        patent_to_mediums[int(child)].append(int(parent))
     medium_to_big = dict(zip(mb[:, 0] - p0, mb[:, 1] - p0))
     big_to_main = dict(zip(bmn[:, 0] - p0, bmn[:, 1] - p0))
+
+    def _chains(p_rel: int) -> tuple[set, set]:
+        """All (big, main) CPC ancestors of one patent, across every
+        medium it carries."""
+        bigs, mains = set(), set()
+        for medium in patent_to_mediums.get(p_rel, ()):
+            big = medium_to_big.get(medium)
+            if big is not None:
+                bigs.add(big)
+                main = big_to_main.get(big)
+                if main is not None:
+                    mains.add(main)
+        return bigs, mains
 
     # --- figure pairs ------------------------------------------------------
     patent_to_figures: dict[int, list[int]] = defaultdict(list)
@@ -154,13 +177,9 @@ def prepare_training_data(graph: HeteroGraph, features: np.ndarray,
     for fig_idx, pos_rel_set in figure_to_patents.items():
         pos_big, pos_main = set(), set()
         for p_rel in pos_rel_set:
-            medium = patent_to_medium.get(p_rel)
-            big = medium_to_big.get(medium) if medium is not None else None
-            if big is not None:
-                pos_big.add(big)
-                main = big_to_main.get(big)
-                if main is not None:
-                    pos_main.add(main)
+            bigs, mains = _chains(p_rel)
+            pos_big |= bigs
+            pos_main |= mains
         target = len(pos_rel_set) * neg_ratio
         got, attempts = 0, 0
         max_att = target * 20
@@ -169,12 +188,8 @@ def prepare_training_data(graph: HeteroGraph, features: np.ndarray,
             attempts += 1
             if cand in pos_rel_set:
                 continue
-            medium = patent_to_medium.get(cand)
-            big = medium_to_big.get(medium) if medium is not None else None
-            main = big_to_main.get(big) if big is not None else None
-            if big is not None and big in pos_big:
-                continue
-            if main is not None and main in pos_main:
+            cand_bigs, cand_mains = _chains(cand)
+            if cand_bigs & pos_big or cand_mains & pos_main:
                 continue
             y_neg.append((fig_idx, cand))
             got += 1
@@ -192,8 +207,7 @@ def prepare_training_data(graph: HeteroGraph, features: np.ndarray,
         label_offsets=offsets, num_labels=num_labels)
 
 
-def figure_pair_maps(td: TrainingData, seed: int = 0
-                     ) -> tuple[dict, dict, dict, dict]:
+def figure_pair_maps(td: TrainingData) -> tuple[dict, dict, dict, dict]:
     """Per-figure lookup dicts used by the train_hyp batcher
     (reference src/train.py:1178-1256):
     figure → positive patent (first), figure → negative patents list,

@@ -48,28 +48,38 @@ def recall_at_k(retrieved: Sequence[str], positives: set[str], k: int) -> float:
     return len(set(retrieved[:k]).intersection(positives)) / len(positives)
 
 
+def _hit_ranks(retrieved: Sequence[str], positives: set[str]) -> np.ndarray:
+    """0-based ranks of the positives within the full ranking — the one
+    pass over the ranking that AP and NDCG both consume (the per-item
+    Python loops cost ~two full gallery walks per query at eval scale)."""
+    return np.asarray([j for j, name in enumerate(retrieved)
+                       if name in positives], np.int64)
+
+
 def average_precision_reference(retrieved: Sequence[str], positives: set[str]) -> float:
-    """AP normalized by |positives| over the FULL ranking (cell 3 "AP calculation")."""
+    """AP normalized by |positives| over the FULL ranking (cell 3 "AP
+    calculation") — vectorized, identical output to the per-item loop."""
     if not positives:
         return 0.0
-    relevant = 0
-    ap = 0.0
-    for j, name in enumerate(retrieved, 1):
-        if name in positives:
-            relevant += 1
-            ap += relevant / j
-    return ap / len(positives)
+    hits = _hit_ranks(retrieved, positives)
+    if hits.size == 0:
+        return 0.0
+    prec_at_hits = np.arange(1, hits.size + 1, dtype=np.float64) / (hits + 1)
+    return float(prec_at_hits.sum() / len(positives))
 
 
 def ndcg_reference(retrieved: Sequence[str], positives: set[str]) -> float:
-    """Binary-gain NDCG with IDCG over |positives| (cell 3 "NDCG calculation")."""
-    idcg = sum(1.0 / np.log2(j + 2) for j in range(len(positives)))
+    """Binary-gain NDCG with IDCG over |positives| (cell 3 "NDCG
+    calculation") — vectorized, identical output to the per-item loop."""
+    n_pos = len(positives)
+    if n_pos == 0:
+        return 0.0
+    idcg = float(np.sum(1.0 / np.log2(np.arange(n_pos, dtype=np.float64)
+                                      + 2.0)))
     if idcg <= 0:
         return 0.0
-    dcg = 0.0
-    for j, name in enumerate(retrieved):
-        if name in positives:
-            dcg += 1.0 / np.log2(j + 2)
+    hits = _hit_ranks(retrieved, positives)
+    dcg = float(np.sum(1.0 / np.log2(hits + 2.0))) if hits.size else 0.0
     return dcg / idcg
 
 
@@ -91,6 +101,10 @@ class RetrievalMetrics:
     precision_20: float = 0.0
     num_queries: int = 0
     num_skipped: int = 0
+    # ground-truth queries with NO ranking (query failed to decode or was
+    # dropped upstream): the means above cover a SMALLER query set than
+    # the ground truth — visible here instead of vanishing silently
+    num_missing_rankings: int = 0
     query_wise: dict = dataclasses.field(default_factory=dict)
 
     def summary_dict(self) -> dict:
@@ -166,7 +180,15 @@ def evaluate_rankings(
     def m(xs):
         return float(np.mean(xs)) if xs else 0.0
 
+    missing = sum(1 for q in ground_truth if q not in rankings)
+    if missing:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%d ground-truth queries have no ranking (of %d) — metrics "
+            "cover a smaller query set", missing, len(ground_truth))
     return RetrievalMetrics(
+        num_missing_rankings=missing,
         mrr=m(rr), mrr_5=m(rr5), mrr_20=m(rr20),
         map=m(ap_scores), ndcg=m(ndcg_scores),
         recall_5=m(r5), recall_10=m(r10), recall_20=m(r20),

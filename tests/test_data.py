@@ -232,3 +232,35 @@ def test_synthetic_corpus_on_disk(tmp_path):
     with open(os.path.join(str(tmp_path), "metadata.json")) as f:
         meta = json.load(f)
     assert len(records_from_metadata(meta)) == 6
+
+
+def test_multi_cpc_patent_exclusivity():
+    """A patent whose figures carry DIFFERENT medium CPCs has multiple
+    patent→medium chains; the exclusivity filter must reject negatives
+    sharing a Big/Main CPC through ANY of them (dict(zip(...)) used to
+    keep one chain only — found in review)."""
+    # P1's two figures carry A01G and B25J → P1's chains cover Big A01+B25.
+    # P2 (A01K, shares Big A01 with P1's first chain) and P3 (B25F, shares
+    # Big B25 with P1's second chain) must BOTH be excluded as negatives
+    # for P1's figures; only P4 (C07D) is a legal negative.
+    records = [
+        rec("P1-20180101-D1.png", "P1", "A01G"),
+        rec("P1-20180101-D2.png", "P1", "B25J"),
+        rec("P2-20180201-D1.png", "P2", "A01K"),
+        rec("P3-20180301-D1.png", "P3", "B25F"),
+        rec("P4-20180401-D1.png", "P4", "C07D"),
+    ]
+    graph = build_hetero_graph(records)
+    feats = synthetic.synthetic_features(records, dim=8, seed=0)
+    x = build_feature_matrix(graph, feats, feature_dim=8)
+    td = prepare_training_data(graph, x, neg_ratio=50, fig_pair_ratio=1,
+                               seed=0)
+    patent_ids = graph.patent_ids if hasattr(graph, "patent_ids") else None
+    # figure 0 and 1 belong to P1 (patent rel idx of P1 = position in the
+    # patent block); find P1's rel index via y_pos
+    p1_rel = {int(p) for f, p in td.y_pos if int(f) in (0, 1)}
+    assert len(p1_rel) == 1
+    p4_rel_candidates = {int(p) for f, p in td.y_pos if int(f) == 4}
+    negs_fig0 = {int(p) for f, p in td.y_neg if int(f) in (0, 1)}
+    # the ONLY legal negative patent for P1's figures is P4's
+    assert negs_fig0 == p4_rel_candidates, (negs_fig0, p4_rel_candidates)

@@ -101,3 +101,18 @@ def test_confusion_and_prf():
     assert prf["recall"][1] == 1.0
     assert prf["precision"][1] == pytest.approx(2 / 3)
     assert prf["accuracy"] == pytest.approx(3 / 5)
+
+
+def test_missing_rankings_counted():
+    """Ground-truth queries with no ranking must be surfaced (the metric
+    means silently covered a smaller query set — found in review)."""
+    from patent_tpu.metrics.retrieval_metrics import evaluate_rankings
+
+    gt = {"q1.png": {"patent_positives": ["g1.png"]},
+          "q2.png": {"patent_positives": ["g2.png"]},
+          "q3.png": {"patent_positives": ["g3.png"]}}
+    rankings = {"q1.png": ["g1.png", "g2.png"]}
+    m = evaluate_rankings(rankings, gt)
+    assert m.num_queries == 1
+    assert m.num_missing_rankings == 2
+    assert m.mrr == 1.0
